@@ -1,0 +1,176 @@
+"""Descriptor matching: dense masked Hamming with ORB-SLAM's gating rules.
+
+Replaces the reference's ORBmatcher (src/ORBmatcher.cpp) and the stubbed
+SearchByProjection/SearchByBoW (include/ORBmatcher.h:22-24, empty bodies —
+SURVEY.md §2.4) with real implementations:
+
+- search_for_initialization: windowed brute force + ratio test +
+  cross-consistency + rotation-histogram filtering (ref :9-126).
+- search_by_projection: project map points into the frame, search a
+  per-point radius window with octave gating (implements the semantics the
+  reference declared but left empty; contract from original ORB-SLAM).
+
+The N x M Hamming matrix is ONE int8 MXU matmul (ops/hamming.py); all window
+and level gates are masks on that matrix. Unique assignment is resolved by
+a scatter-min over claimed features.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam_in_practice_tpu.frontend.frame import Frame
+from orbslam_in_practice_tpu.ops.hamming import hamming_matrix
+
+TH_LOW = 50  # ref src/ORBmatcher.cpp:7
+TH_HIGH = 100  # original ORB-SLAM TH_HIGH
+HISTO_BINS = 30  # ref :6
+_BIG = jnp.int32(1 << 20)
+
+
+def _rotation_consistency(rot_diff: jnp.ndarray, matched: jnp.ndarray) -> jnp.ndarray:
+    """Keep matches whose angle difference falls in the top-3 histogram bins
+    (ref ComputeThreeMaxima :147-188; also drops bins < 0.1 * max)."""
+    two_pi = 2.0 * jnp.pi
+    frac = jnp.mod(rot_diff, two_pi) / two_pi
+    bins = jnp.clip((frac * HISTO_BINS).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(matched.astype(jnp.int32))
+    top3 = jax.lax.top_k(hist, 3)[0]
+    keep_bin = (hist[:, None] == top3[None, :]).any(axis=-1) & (
+        hist > 0.1 * top3[0]
+    )
+    return matched & keep_bin[bins]
+
+
+@partial(jax.jit, static_argnames=("window", "check_rotation"))
+def search_for_initialization(
+    f1: Frame,
+    f2: Frame,
+    prev_xy: jnp.ndarray | None = None,
+    window: int = 100,
+    nn_ratio: float = 0.9,
+    check_rotation: bool = True,
+):
+    """Level-0 windowed matching for monocular init (ref :9-126).
+
+    Args:
+      f1, f2: Frames. prev_xy: (N1, 2) search centers in f2 (defaults to
+        f1.xy — the reference seeds with the first frame's keypoints,
+        src/Tracking.cpp:181-189).
+
+    Returns:
+      matches12: (N1,) int32 index into f2 (-1 = unmatched).
+    """
+    if prev_xy is None:
+        prev_xy = f1.xy
+    dist = hamming_matrix(f1.desc_pm1, f2.desc_pm1)  # (N1, N2)
+    lvl0 = (f1.octave == 0)[:, None] & (f2.octave == 0)[None, :]
+    validm = f1.valid[:, None] & f2.valid[None, :]
+    dx = jnp.abs(prev_xy[:, 0:1] - f2.xy[None, :, 0])
+    dy = jnp.abs(prev_xy[:, 1:2] - f2.xy[None, :, 1])
+    in_win = (dx <= window) & (dy <= window)
+    masked = jnp.where(validm & lvl0 & in_win, dist, _BIG)
+
+    # best two in f2 for each f1 keypoint
+    neg_top2, idx_top2 = jax.lax.top_k(-masked, 2)
+    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    j_best = idx_top2[:, 0]
+    ok = (d1 <= TH_LOW) & (d1.astype(jnp.float32) < nn_ratio * d2.astype(jnp.float32))
+
+    # cross-consistency: f1 row must be the best for its claimed f2 column
+    best_for_col = jnp.argmin(masked, axis=0)  # (N2,)
+    rows = jnp.arange(f1.n_features)
+    ok = ok & (best_for_col[j_best] == rows)
+
+    if check_rotation:
+        rot = f1.angle - f2.angle[j_best]
+        ok = _rotation_consistency(rot, ok)
+    return jnp.where(ok, j_best, -1)
+
+
+@partial(jax.jit, static_argnames=("max_th_dist", "use_ratio"))
+def search_by_projection(
+    pts_w: jnp.ndarray,
+    pts_desc_pm1: jnp.ndarray,
+    pts_valid: jnp.ndarray,
+    pts_octave: jnp.ndarray,
+    Tcw: jnp.ndarray,
+    frame: Frame,
+    K: jnp.ndarray,
+    radius: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    max_th_dist: int = TH_HIGH,
+    use_ratio: bool = False,
+    nn_ratio: float = 0.9,
+):
+    """Project world points into the frame, match in a radius window.
+
+    Implements the contract of ORB-SLAM's SearchByProjection (stubbed empty
+    in the reference, include/ORBmatcher.h:24): per point, search features
+    within radius * scale_factor[octave] pixels whose octave is within
+    [oct-1, oct+1] of the point's reference octave, pick min Hamming.
+
+    Args:
+      pts_w: (M, 3) world positions; pts_desc_pm1: (M, 256) representative
+      descriptors; pts_valid: (M,); pts_octave: (M,) reference octave;
+      Tcw: (4, 4); radius: scalar or (M,) base search radius in pixels.
+
+    Returns:
+      (matches: (M,) int32 feature index or -1,
+       proj_uv: (M, 2) projected pixel coords,
+       in_image: (M,) bool point projected in front & inside bounds)
+    """
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    pc = pts_w @ R.T + t
+    z = pc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = K[0, 0] * pc[:, 0] / z_safe + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / z_safe + K[1, 2]
+    proj = jnp.stack([u, v], axis=-1)
+
+    # image-bound check against the frame's observed keypoint extents
+    min_x = jnp.min(jnp.where(frame.valid, frame.xy[:, 0], jnp.inf))
+    max_x = jnp.max(jnp.where(frame.valid, frame.xy[:, 0], -jnp.inf))
+    min_y = jnp.min(jnp.where(frame.valid, frame.xy[:, 1], jnp.inf))
+    max_y = jnp.max(jnp.where(frame.valid, frame.xy[:, 1], -jnp.inf))
+    in_image = (z > 0.0) & (u >= min_x) & (u <= max_x) & (v >= min_y) & (v <= max_y)
+
+    dist = hamming_matrix(pts_desc_pm1, frame.desc_pm1)  # (M, N)
+    r_scaled = jnp.broadcast_to(
+        jnp.asarray(radius, jnp.float32), pts_valid.shape
+    ) * scale_factors[jnp.clip(pts_octave, 0, scale_factors.shape[0] - 1)]
+    du = jnp.abs(proj[:, 0:1] - frame.xy[None, :, 0])
+    dv = jnp.abs(proj[:, 1:2] - frame.xy[None, :, 1])
+    in_win = (du <= r_scaled[:, None]) & (dv <= r_scaled[:, None])
+    oct_ok = jnp.abs(frame.octave[None, :] - pts_octave[:, None]) <= 1
+    maskm = (
+        pts_valid[:, None]
+        & in_image[:, None]
+        & frame.valid[None, :]
+        & in_win
+        & oct_ok
+    )
+    masked = jnp.where(maskm, dist, _BIG)
+
+    neg_top2, idx_top2 = jax.lax.top_k(-masked, 2)
+    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    j_best = idx_top2[:, 0]
+    ok = d1 <= max_th_dist
+    if use_ratio:
+        ok = ok & (d1.astype(jnp.float32) < nn_ratio * d2.astype(jnp.float32))
+
+    # unique assignment: if several points claim one feature keep min distance
+    claim = jnp.full(frame.n_features, _BIG, jnp.int32).at[j_best].min(
+        jnp.where(ok, d1, _BIG)
+    )
+    ok = ok & (claim[j_best] == d1)
+    # among equal-distance claimants keep the lowest point index
+    first = jnp.full(frame.n_features, jnp.int32(1 << 30)).at[j_best].min(
+        jnp.where(ok, jnp.arange(pts_valid.shape[0], dtype=jnp.int32), jnp.int32(1 << 30))
+    )
+    ok = ok & (first[j_best] == jnp.arange(pts_valid.shape[0], dtype=jnp.int32))
+    return jnp.where(ok, j_best, -1), proj, in_image

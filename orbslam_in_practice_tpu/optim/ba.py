@@ -1,0 +1,294 @@
+"""Bundle adjustment with Schur-complement landmark marginalization.
+
+Intended semantics of the reference's BundleAdjustment
+(src/Optimizer.cpp:23-129): SE3 pose vertices (fixed gauge keyframes),
+marginalized XYZ landmark vertices, monocular reprojection edges with Huber
+delta = sqrt(5.991), Levenberg-Marquardt — with the reference's defects fixed
+(uninitialized information matrices :96-97, missing write-back :127-128,
+wrong intrinsic indexing :134-139).
+
+TPU-first design (SURVEY.md §7.1):
+- Fixed-shape observation table (obs_cam, obs_point, obs_uv, obs_mask).
+- Per-observation analytic Jacobians Jc (2x6), Jp (2x3), batched.
+- Hpp (3x3 per landmark) inverted in closed form; the reduced camera system
+  S (K*6, K*6) is assembled densely with segment-sums and scatter-adds over
+  a per-landmark observation grouping (L, O_max) — all MXU/VPU friendly.
+- The whole LM loop runs under jit with lax control flow.
+
+This same assembly is the distributed unit: shard the observation table over
+a mesh axis and psum (S, b) before the (small, replicated) dense solve —
+see parallel/dist_ba.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from orbslam_in_practice_tpu.geometry.se3 import exp_se3, hat
+
+CHI2_MONO = 5.991
+HUBER_DELTA = float(jnp.sqrt(CHI2_MONO))
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle-adjustment problem.
+
+    Shapes: K cameras, L landmarks, O observations, O_max obs per landmark.
+    """
+
+    poses: jnp.ndarray  # (K, 4, 4) Tcw
+    points: jnp.ndarray  # (L, 3)
+    obs_cam: jnp.ndarray  # (O,) int32 camera index
+    obs_point: jnp.ndarray  # (O,) int32 landmark index
+    obs_uv: jnp.ndarray  # (O, 2) undistorted pixels
+    obs_inv_sigma2: jnp.ndarray  # (O,) information scale (per octave)
+    obs_mask: jnp.ndarray  # (O,) bool
+    point_obs: jnp.ndarray  # (L, O_max) int32 index into obs arrays, -1 pad
+    fixed_cam: jnp.ndarray  # (K,) bool — gauge-fixed cameras
+    K: jnp.ndarray  # (3, 3) intrinsics
+
+
+def _proj_residual_jac(poses, points, obs_cam, obs_point, obs_uv, Kmat):
+    """Per-observation residual + Jacobians.
+
+    Returns r (O, 2), Jc (O, 2, 6), Jp (O, 2, 3), depth z (O,).
+    """
+    Tcw = poses[obs_cam]  # (O, 4, 4)
+    Xw = points[obs_point]  # (O, 3)
+    R = Tcw[..., :3, :3]
+    t = Tcw[..., :3, 3]
+    pc = jnp.einsum("oij,oj->oi", R, Xw) + t
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    fx, fy, cx, cy = Kmat[0, 0], Kmat[1, 1], Kmat[0, 2], Kmat[1, 2]
+    u = fx * x / z_safe + cx
+    v = fy * y / z_safe + cy
+    r = obs_uv - jnp.stack([u, v], axis=-1)
+
+    zi = 1.0 / z_safe
+    zi2 = zi * zi
+    J_proj = jnp.stack(
+        [
+            jnp.stack([fx * zi, jnp.zeros_like(zi), -fx * x * zi2], axis=-1),
+            jnp.stack([jnp.zeros_like(zi), fy * zi, -fy * y * zi2], axis=-1),
+        ],
+        axis=-2,
+    )  # (O, 2, 3)
+    # camera: left-perturbation tangent [rho, phi]
+    dpc_dxi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=poses.dtype), pc.shape[:-1] + (3, 3)), -hat(pc)],
+        axis=-1,
+    )  # (O, 3, 6)
+    Jc = -J_proj @ dpc_dxi  # (O, 2, 6)
+    # point: dpc/dXw = R
+    Jp = -J_proj @ R  # (O, 2, 3)
+    return r, Jc, Jp, z
+
+
+def _robust_weight(chi2, use_huber):
+    wh = jnp.minimum(1.0, HUBER_DELTA / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+    return jnp.where(use_huber, wh, jnp.ones_like(chi2))
+
+
+def _robust_cost(chi2, use_huber):
+    d2 = HUBER_DELTA * HUBER_DELTA
+    huber = jnp.where(chi2 <= d2, chi2, 2.0 * HUBER_DELTA * jnp.sqrt(chi2) - d2)
+    return jnp.where(use_huber, huber, chi2)
+
+
+def _inv3x3(M):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _total_cost(poses, points, prob: BAProblem, use_huber):
+    r, _, _, z = _proj_residual_jac(
+        poses, points, prob.obs_cam, prob.obs_point, prob.obs_uv, prob.K
+    )
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    cost = _robust_cost(chi2, use_huber)
+    w = prob.obs_mask.astype(poses.dtype)
+    return jnp.sum(cost * w)
+
+
+def build_normal_equations(poses, points, prob: BAProblem, use_huber):
+    """Assemble the Schur-reduced camera system.
+
+    Returns (S (K, K, 6, 6), b_red (K, 6), Hpp_inv (L, 3, 3), b_p (L, 3),
+    Wg (L, O_max, 6, 3), cam_g (L, O_max), obs_valid_g (L, O_max)).
+
+    This is the psum-reduction unit for distributed BA.
+    """
+    dtype = poses.dtype
+    n_cam = poses.shape[0]
+    r, Jc, Jp, z = _proj_residual_jac(
+        poses, points, prob.obs_cam, prob.obs_point, prob.obs_uv, prob.K
+    )
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    w = (
+        prob.obs_mask.astype(dtype)
+        * prob.obs_inv_sigma2
+        * _robust_weight(chi2, use_huber)
+    )  # (O,)
+
+    # Camera diagonal blocks and gradient
+    Hcc = jnp.zeros((n_cam, 6, 6), dtype).at[prob.obs_cam].add(
+        jnp.einsum("oai,o,oaj->oij", Jc, w, Jc)
+    )
+    b_c = jnp.zeros((n_cam, 6), dtype).at[prob.obs_cam].add(
+        -jnp.einsum("oai,o,oa->oi", Jc, w, r)
+    )
+
+    # Landmark blocks (grouped by point): gather per-landmark observations
+    po = prob.point_obs  # (L, O_max)
+    pv = po >= 0
+    po_safe = jnp.maximum(po, 0)
+    Jp_g = Jp[po_safe] * pv[..., None, None]  # (L, O_max, 2, 3)
+    Jc_g = Jc[po_safe] * pv[..., None, None]  # (L, O_max, 2, 6)
+    r_g = r[po_safe] * pv[..., None]  # (L, O_max, 2)
+    w_g = w[po_safe] * pv  # (L, O_max)
+    cam_g = jnp.where(pv, prob.obs_cam[po_safe], 0)  # (L, O_max)
+
+    Hpp = jnp.einsum("loai,lo,loaj->lij", Jp_g, w_g, Jp_g)  # (L, 3, 3)
+    b_p = -jnp.einsum("loai,lo,loa->li", Jp_g, w_g, r_g)  # (L, 3)
+    Wg = jnp.einsum("loai,lo,loaj->loij", Jc_g, w_g, Jp_g)  # (L, O_max, 6, 3)
+
+    return Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, w_g
+
+
+def schur_solve(Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam):
+    """Damp, form Schur complement, solve cameras, back-substitute landmarks.
+
+    Returns (delta_c (K, 6), delta_p (L, 3)).
+    """
+    dtype = Hcc.dtype
+    n_cam = Hcc.shape[0]
+    # LM damping (multiplicative on diagonals)
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hcc_d = Hcc + lam * Hcc * eye6 + 1e-8 * eye6
+    Hpp_d = Hpp + lam * Hpp * eye3 + 1e-8 * eye3
+    Hpp_inv = _inv3x3(Hpp_d)  # (L, 3, 3)
+
+    # T = W Hpp^-1 per (landmark, obs): (L, O_max, 6, 3)
+    T = jnp.einsum("loij,ljk->loik", Wg, Hpp_inv)
+
+    # Schur off-diagonal: S[ci, cj] -= T_i @ W_j^T for obs pairs of each point
+    outer = jnp.einsum("loik,lpjk->lopij", T, Wg)  # (L, O_max, O_max, 6, 6)
+    L_, O_max = cam_g.shape
+    ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
+    cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
+    pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
+    S = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
+    S = S.at[ci.reshape(-1), cj.reshape(-1)].add(
+        (-outer * pair_valid).reshape(-1, 6, 6)
+    )
+    S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(Hcc_d)
+
+    # reduced gradient: b_red = b_c - sum_l T b_p
+    contrib = jnp.einsum("loik,lk->loi", T, b_p)  # (L, O_max, 6)
+    b_red = b_c.at[cam_g.reshape(-1)].add(
+        (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
+    )
+
+    # Gauge fixing: zero fixed cameras' rows/cols, identity diagonal.
+    free = (~fixed_cam).astype(dtype)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
+    S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(
+        jnp.eye(6, dtype=dtype) * fixed_cam.astype(dtype)[:, None, None]
+    )
+    b_red = b_red * free[:, None]
+
+    # Dense solve of the reduced camera system.
+    S_mat = S.transpose(0, 2, 1, 3).reshape(n_cam * 6, n_cam * 6)
+    delta_c = jnp.linalg.solve(S_mat, b_red.reshape(-1)).reshape(n_cam, 6)
+
+    # Back-substitute landmarks: delta_p = Hpp^-1 (b_p - sum_obs W^T delta_c)
+    dc_g = delta_c[cam_g] * pv[..., None].astype(dtype)  # (L, O_max, 6)
+    Wt_dc = jnp.einsum("loij,loi->lj", Wg, dc_g)  # (L, 3)
+    delta_p = jnp.einsum("lij,lj->li", Hpp_inv, b_p - Wt_dc)
+    return delta_c, delta_p
+
+
+@partial(jax.jit, static_argnames=("iterations", "use_huber"))
+def bundle_adjustment(prob: BAProblem, iterations: int = 20, use_huber: bool = True):
+    """Full/local BA with LM + Schur. Returns (poses, points, final_chi2_per_obs).
+
+    Landmark validity: landmarks with no observations get identity Hpp
+    damping and zero updates (their b_p is zero).
+    """
+    dtype = prob.poses.dtype
+    use_huber_arr = jnp.asarray(use_huber)
+
+    def body(_, state):
+        poses, points, lam, _ = state
+        Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, w_g = build_normal_equations(
+            poses, points, prob, use_huber_arr
+        )
+        delta_c, delta_p = schur_solve(
+            Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, prob.fixed_cam, lam
+        )
+        free = (~prob.fixed_cam)[:, None].astype(dtype)
+        poses_new = exp_se3(delta_c * free) @ poses
+        points_new = points + delta_p
+        cost_old = _total_cost(poses, points, prob, use_huber_arr)
+        cost_new = _total_cost(poses_new, points_new, prob, use_huber_arr)
+        ok = jnp.isfinite(cost_new) & (cost_new < cost_old)
+        poses = jnp.where(ok, poses_new, poses)
+        points = jnp.where(ok, points_new, points)
+        lam = jnp.where(ok, lam * 0.5, lam * 4.0)
+        return poses, points, lam, jnp.where(ok, cost_new, cost_old)
+
+    init = (prob.poses, prob.points, jnp.asarray(1e-4, dtype), jnp.asarray(0.0, dtype))
+    poses, points, _, _ = lax.fori_loop(0, iterations, body, init)
+
+    r, _, _, z = _proj_residual_jac(
+        poses, points, prob.obs_cam, prob.obs_point, prob.obs_uv, prob.K
+    )
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    chi2 = jnp.where(z > 0, chi2, jnp.inf)
+    return poses, points, chi2
+
+
+def build_point_obs(obs_point, n_points: int, o_max: int):
+    """Host-side helper: group observation indices by landmark.
+
+    Args:
+      obs_point: (O,) numpy int array (-1 or masked entries allowed if the
+        caller filters), n_points: L, o_max: max observations per landmark.
+
+    Returns (L, o_max) int32 with -1 padding.
+    """
+    import numpy as np
+
+    out = np.full((n_points, o_max), -1, dtype=np.int32)
+    fill = np.zeros(n_points, dtype=np.int32)
+    for o, p in enumerate(np.asarray(obs_point)):
+        if p < 0 or p >= n_points:
+            continue
+        k = fill[p]
+        if k < o_max:
+            out[p, k] = o
+            fill[p] = k + 1
+    return out
