@@ -1,0 +1,120 @@
+"""Configuration: the ORB-SLAM settings-file schema.
+
+The reference reads these keys via cv::FileStorage (src/Tracking.cpp:13-44,
+src/system.cpp:13-18 — read twice there; once here): Camera.fx/fy/cx/cy,
+Camera.k1/k2/p1/p2/k3, Camera.fps, Camera.RGB, ORBextractor.nFeatures/
+scaleFactor/nLevels/iniThFAST/minThFAST. Standard ORB-SLAM dataset YAMLs
+(TUM1.yaml, KITTI00-02.yaml) parse unchanged, including the leading
+"%YAML:1.0" directive cv::FileStorage emits.
+
+Defaults match the reference: fps -> 10 if <= 0 (src/Tracking.cpp:31-32),
+RGB flag to bool (:34-38).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from orbslam_in_practice_tpu.geometry.camera import CameraIntrinsics
+
+
+@dataclass
+class SlamConfig:
+    # Camera.*
+    fx: float = 500.0
+    fy: float = 500.0
+    cx: float = 320.0
+    cy: float = 240.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    fps: float = 30.0
+    rgb: bool = True
+    width: int = 640
+    height: int = 480
+    # ORBextractor.*
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    # engine sizing (fixed-shape budgets, SURVEY.md §7.3 "decide budgets early")
+    k_max: int = 256
+    l_max: int = 16384
+    local_window: int = 6  # local-BA keyframe window
+    # loop closing
+    enable_loop_closing: bool = True
+
+    @property
+    def cam(self) -> CameraIntrinsics:
+        return CameraIntrinsics(
+            fx=self.fx,
+            fy=self.fy,
+            cx=self.cx,
+            cy=self.cy,
+            dist=(self.k1, self.k2, self.p1, self.p2, self.k3),
+            width=self.width,
+            height=self.height,
+        )
+
+
+_KEY_MAP = {
+    "Camera.fx": "fx",
+    "Camera.fy": "fy",
+    "Camera.cx": "cx",
+    "Camera.cy": "cy",
+    "Camera.k1": "k1",
+    "Camera.k2": "k2",
+    "Camera.p1": "p1",
+    "Camera.p2": "p2",
+    "Camera.k3": "k3",
+    "Camera.fps": "fps",
+    "Camera.RGB": "rgb",
+    "Camera.width": "width",
+    "Camera.height": "height",
+    "ORBextractor.nFeatures": "n_features",
+    "ORBextractor.scaleFactor": "scale_factor",
+    "ORBextractor.nLevels": "n_levels",
+    "ORBextractor.iniThFAST": "ini_th_fast",
+    "ORBextractor.minThFAST": "min_th_fast",
+    "Engine.kMax": "k_max",
+    "Engine.lMax": "l_max",
+    "Engine.localWindow": "local_window",
+    "LoopClosing.enable": "enable_loop_closing",
+}
+
+_INT_FIELDS = {"n_features", "n_levels", "width", "height", "k_max", "l_max", "local_window"}
+_BOOL_FIELDS = {"rgb", "enable_loop_closing"}
+
+
+def load_config(path: str) -> SlamConfig:
+    """Parse an ORB-SLAM style YAML settings file (flat key: value pairs).
+
+    cv::FileStorage YAML is a flat mapping with a %YAML:1.0 header — a tiny
+    hand parser avoids depending on a yaml package (not baked in).
+    """
+    cfg = SlamConfig()
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or line.startswith("%"):
+                continue
+            m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line)
+            if not m:
+                continue
+            key, val = m.group(1), m.group(2).strip().strip('"')
+            attr = _KEY_MAP.get(key)
+            if attr is None:
+                continue
+            if attr in _BOOL_FIELDS:
+                setattr(cfg, attr, val.strip() not in ("0", "false", "False"))
+            elif attr in _INT_FIELDS:
+                setattr(cfg, attr, int(float(val)))
+            else:
+                setattr(cfg, attr, float(val))
+    if cfg.fps <= 0:
+        cfg.fps = 10.0  # ref src/Tracking.cpp:31-32
+    return cfg

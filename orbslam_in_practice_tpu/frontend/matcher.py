@@ -174,3 +174,105 @@ def search_by_projection(
     )
     ok = ok & (first[j_best] == jnp.arange(pts_valid.shape[0], dtype=jnp.int32))
     return jnp.where(ok, j_best, -1), proj, in_image
+
+
+@partial(jax.jit, static_argnames=("check_rotation",))
+def search_frame_to_kf(
+    frame: Frame,
+    kf_xy: jnp.ndarray,
+    kf_angle: jnp.ndarray,
+    kf_desc_pm1: jnp.ndarray,
+    kf_has_lm: jnp.ndarray,
+    nn_ratio: float = 0.7,
+    check_rotation: bool = True,
+):
+    """Match current-frame features against a keyframe's landmark-bearing
+    features (the role of the reference's stubbed SearchByBoW,
+    include/ORBmatcher.h:22 — the BoW acceleration is unnecessary on TPU:
+    the full Hamming matrix is one MXU matmul).
+
+    Returns matches: (N_frame,) int32 index into KF features (-1 unmatched).
+    """
+    dist = hamming_matrix(frame.desc_pm1, kf_desc_pm1)  # (N, F_kf)
+    maskm = frame.valid[:, None] & kf_has_lm[None, :]
+    masked = jnp.where(maskm, dist, _BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-masked, 2)
+    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    j_best = idx_top2[:, 0]
+    ok = (d1 <= TH_LOW) & (d1.astype(jnp.float32) < nn_ratio * d2.astype(jnp.float32))
+    # cross-check
+    best_for_col = jnp.argmin(masked, axis=0)
+    rows = jnp.arange(frame.n_features)
+    ok = ok & (best_for_col[j_best] == rows)
+    if check_rotation:
+        rot = frame.angle - kf_angle[j_best]
+        ok = _rotation_consistency(rot, ok)
+    return jnp.where(ok, j_best, -1)
+
+
+@jax.jit
+def epipolar_match_kf(
+    xy1: jnp.ndarray,
+    desc1_pm1: jnp.ndarray,
+    free1: jnp.ndarray,
+    octave1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    desc2_pm1: jnp.ndarray,
+    free2: jnp.ndarray,
+    octave2: jnp.ndarray,
+    F12: jnp.ndarray,
+    inv_level_sigma2: jnp.ndarray,
+):
+    """Epipolar-constrained matching of two keyframes' UNMATCHED features,
+    for new-map-point triangulation (the LocalMapping capability the
+    reference left absent — SURVEY.md §2.1 #13 'new-point triangulation').
+
+    Args:
+      xy1/xy2: (F, 2) undistorted coords; desc*_pm1: (F, 256); free*: (F,)
+      bool (valid feature with NO landmark); F12: fundamental matrix with
+      x2' F12 x1 = 0; inv_level_sigma2: per-octave information.
+
+    Returns matches: (F1,) int32 index into KF2 features (-1 unmatched).
+    """
+    dist = hamming_matrix(desc1_pm1, desc2_pm1)  # (F1, F2)
+    ones1 = jnp.ones_like(xy1[:, :1])
+    h1 = jnp.concatenate([xy1, ones1], axis=-1)  # (F1, 3)
+    # epipolar line of each x1 in image 2: l2 = F12 h1
+    l2 = h1 @ F12.T  # (F1, 3)
+    num = l2[:, None, 0] * xy2[None, :, 0] + l2[:, None, 1] * xy2[None, :, 1] + l2[:, None, 2:3][..., 0]
+    den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+    d2_line = num * num / jnp.maximum(den[:, None], 1e-12)  # (F1, F2)
+    sig2 = 1.0 / inv_level_sigma2[jnp.clip(octave2, 0, inv_level_sigma2.shape[0] - 1)]
+    epi_ok = d2_line < 3.84 * sig2[None, :]
+    oct_ok = jnp.abs(octave1[:, None] - octave2[None, :]) <= 1
+    maskm = free1[:, None] & free2[None, :] & epi_ok & oct_ok
+    masked = jnp.where(maskm, dist, _BIG)
+    d1 = jnp.min(masked, axis=1)
+    j_best = jnp.argmin(masked, axis=1)
+    ok = d1 <= TH_LOW
+    # mutual best
+    best_for_col = jnp.argmin(masked, axis=0)
+    rows = jnp.arange(xy1.shape[0])
+    ok = ok & (best_for_col[j_best] == rows)
+    return jnp.where(ok, j_best, -1)
+
+
+def fundamental_from_poses(T1w: jnp.ndarray, T2w: jnp.ndarray, K: jnp.ndarray):
+    """F12 such that x2' F12 x1 = 0, from world->cam poses (for
+    epipolar_match_kf). Relative pose: T21 = T2w @ inv(T1w)."""
+    R1 = T1w[:3, :3]
+    t1 = T1w[:3, 3]
+    R2 = T2w[:3, :3]
+    t2 = T2w[:3, 3]
+    R21 = R2 @ R1.T
+    t21 = t2 - R21 @ t1
+    tx = jnp.array(
+        [
+            [0.0, -t21[2], t21[1]],
+            [t21[2], 0.0, -t21[0]],
+            [-t21[1], t21[0], 0.0],
+        ],
+        dtype=T1w.dtype,
+    )
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R21 @ Kinv

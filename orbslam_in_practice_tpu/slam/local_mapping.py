@@ -1,0 +1,414 @@
+"""Local mapping: the full capability set the reference only sketched.
+
+The reference's LocalMapping (src/LocalMapping.cpp) implements only
+ProcessNewKeyFrame (observation binding) and leaves recent-point culling,
+new-point triangulation, fusion, LOCAL BA and keyframe culling absent
+(SURVEY.md §2.1 #13, §3.5). This module provides all of them, synchronously
+after each keyframe insertion (deterministic; the reference's intended
+second thread is an orchestration detail, not a capability).
+
+Jitted kernels: landmark invariant refresh (normals, distance ranges,
+distinctive descriptors — MapPoint::UpdateNormalAndDepth and
+ComputeDistinctiveDescriptors were *declared but never defined* in the
+reference, include/MapPoint.h:22-23), epipolar triangulation of new points,
+and windowed local BA (optim/ba.py) with padded static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam_in_practice_tpu.frontend.matcher import (
+    epipolar_match_kf,
+    fundamental_from_poses,
+)
+from orbslam_in_practice_tpu.geometry.triangulate import triangulate_dlt
+from orbslam_in_practice_tpu.optim.ba import BAProblem, build_point_obs, bundle_adjustment
+
+O_MAX = 12  # max observations per landmark used in invariants / local BA
+
+
+def _pad_to(x, n, fill=0):
+    x = np.asarray(x)
+    if len(x) >= n:
+        return x[:n]
+    pad = np.full((n - len(x),) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+@jax.jit
+def _landmark_invariants(
+    lm_pos: jnp.ndarray,  # (L, 3)
+    obs_kf_pose: jnp.ndarray,  # (L, O_MAX, 4, 4)
+    obs_desc: jnp.ndarray,  # (L, O_MAX, 256) int8
+    obs_octave: jnp.ndarray,  # (L, O_MAX)
+    obs_valid: jnp.ndarray,  # (L, O_MAX)
+    scale_factor: jnp.ndarray,
+    n_levels: jnp.ndarray,
+):
+    """Normals, distance invariants, distinctive descriptors (batched).
+
+    Normal: mean unit vector from observing camera centers to the point.
+    Distance range: from the LAST observation's octave, ORB-SLAM convention
+      max_dist = dist * scale^octave, min_dist = max_dist / scale^(nLevels-1).
+    Distinctive descriptor: the observation descriptor minimizing the median
+      Hamming distance to the other observations.
+    """
+    R = obs_kf_pose[..., :3, :3]
+    t = obs_kf_pose[..., :3, 3]
+    centers = -jnp.einsum("loji,loj->loi", R, t)  # (L, O, 3) camera centers (world)
+    vecs = lm_pos[:, None, :] - centers
+    norms = jnp.maximum(jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-9)
+    unit = vecs / norms
+    w = obs_valid[..., None].astype(jnp.float32)
+    normal = jnp.sum(unit * w, axis=1)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # reference observation = last valid one
+    idx_last = jnp.maximum(
+        jnp.sum(obs_valid.astype(jnp.int32), axis=1) - 1, 0
+    )  # (L,)
+    dist_ref = jnp.take_along_axis(norms[..., 0], idx_last[:, None], axis=1)[:, 0]
+    oct_ref = jnp.take_along_axis(obs_octave, idx_last[:, None], axis=1)[:, 0]
+    max_dist = dist_ref * scale_factor**oct_ref.astype(jnp.float32)
+    min_dist = max_dist / scale_factor ** (n_levels.astype(jnp.float32) - 1.0)
+
+    # distinctive descriptor: pairwise Hamming between observations
+    d = obs_desc.astype(jnp.float32)  # ±1
+    dots = jnp.einsum("loc,lpc->lop", d, d)  # (L, O, O)
+    ham = (256.0 - dots) * 0.5
+    pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :]
+    ham = jnp.where(pair_ok, ham, jnp.inf)
+    med = jnp.nanmedian(jnp.where(jnp.isinf(ham), jnp.nan, ham), axis=2)  # (L, O)
+    med = jnp.where(obs_valid & jnp.isfinite(med), med, jnp.inf)
+    best = jnp.argmin(med, axis=1)  # (L,)
+    desc = jnp.take_along_axis(obs_desc, best[:, None, None], axis=1)[:, 0]
+    return normal, min_dist, max_dist, desc, oct_ref
+
+
+@partial(jax.jit, static_argnames=())
+def _triangulate_pairs(
+    T1: jnp.ndarray,
+    T2: jnp.ndarray,
+    K: jnp.ndarray,
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    inv_sigma2_1: jnp.ndarray,
+):
+    """Triangulate matched feature pairs between two keyframes and gate them
+    (parallax, cheirality, reprojection) — the new-map-point path of
+    original ORB-SLAM's CreateNewMapPoints.
+
+    Returns (points_world (N, 3), accept (N,)).
+    """
+    P1 = K @ T1[:3, :4]
+    P2 = K @ T2[:3, :4]
+    Xw = triangulate_dlt(P1[None], P2[None], xy1, xy2)  # world coords
+
+    def depth_and_reproj(T, xy):
+        pc = Xw @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = K[0, 0] * pc[:, 0] / zs + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / zs + K[1, 2]
+        err2 = (u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2
+        return z, err2
+
+    z1, e1 = depth_and_reproj(T1, xy1)
+    z2, e2 = depth_and_reproj(T2, xy2)
+    # parallax between rays
+    c1 = -T1[:3, :3].T @ T1[:3, 3]
+    c2 = -T2[:3, :3].T @ T2[:3, 3]
+    r1 = Xw - c1
+    r2 = Xw - c2
+    cos_par = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+    )
+    th2 = 5.991 / jnp.maximum(inv_sigma2_1, 1e-9)
+    accept = (
+        pair_valid
+        & jnp.all(jnp.isfinite(Xw), axis=-1)
+        & (z1 > 0)
+        & (z2 > 0)
+        & (cos_par < 0.9998)
+        & (e1 < th2)
+        & (e2 < th2)
+    )
+    return Xw, accept
+
+
+class LocalMapper:
+    """Synchronous local-mapping pipeline driven by Tracking."""
+
+    def __init__(self, config, extractor):
+        self.cfg = config
+        self.ext = extractor
+        self.scale_factors = np.array(
+            [config.scale_factor**i for i in range(config.n_levels)], dtype=np.float32
+        )
+        # padded local-BA shapes (stable jit cache)
+        self.ba_k = int(2 ** int(np.ceil(np.log2(max(4, config.local_window + 8)))))
+        self.ba_l = 2048
+        self.ba_o = 8192
+        self._recent_lms: list = []  # (lm_id, created_at_kf) for culling
+
+    # ---------- landmark invariant refresh ----------
+
+    def refresh_landmarks(self, smap, lm_ids: np.ndarray):
+        """Recompute normal / distance range / distinctive descriptor for the
+        given landmarks from their current observations."""
+        if len(lm_ids) == 0:
+            return
+        kf_idx, feat_idx, which = smap.observations_of(lm_ids)
+        L = len(lm_ids)
+        obs_pose = np.zeros((L, O_MAX, 4, 4), np.float32)
+        obs_pose[:, :, range(4), range(4)] = 1.0
+        obs_desc = np.zeros((L, O_MAX, 256), np.int8)
+        obs_oct = np.zeros((L, O_MAX), np.int32)
+        obs_val = np.zeros((L, O_MAX), bool)
+        fill = np.zeros(L, np.int32)
+        kf_pose_h = np.asarray(smap.kf_pose)
+        desc_h = np.asarray(smap.kf_desc_pm1)
+        oct_h = np.asarray(smap.kf_octave)
+        for k, f, l in zip(kf_idx, feat_idx, which):
+            c = fill[l]
+            if c < O_MAX:
+                obs_pose[l, c] = kf_pose_h[k]
+                obs_desc[l, c] = desc_h[k, f]
+                obs_oct[l, c] = oct_h[k, f]
+                obs_val[l, c] = True
+                fill[l] = c + 1
+        has_obs = fill > 0
+        normal, min_d, max_d, desc, oct_ref = _landmark_invariants(
+            smap.lm_pos[jnp.asarray(lm_ids)],
+            jnp.asarray(obs_pose),
+            jnp.asarray(obs_desc),
+            jnp.asarray(obs_oct),
+            jnp.asarray(obs_val),
+            jnp.asarray(self.cfg.scale_factor, jnp.float32),
+            jnp.asarray(self.cfg.n_levels, jnp.int32),
+        )
+        ids_j = jnp.asarray(lm_ids)
+        upd = jnp.asarray(has_obs)
+        smap.lm_normal = smap.lm_normal.at[ids_j].set(
+            jnp.where(upd[:, None], normal, smap.lm_normal[ids_j])
+        )
+        smap.lm_min_dist = smap.lm_min_dist.at[ids_j].set(
+            jnp.where(upd, min_d, smap.lm_min_dist[ids_j])
+        )
+        smap.lm_max_dist = smap.lm_max_dist.at[ids_j].set(
+            jnp.where(upd, max_d, smap.lm_max_dist[ids_j])
+        )
+        smap.lm_desc_pm1 = smap.lm_desc_pm1.at[ids_j].set(
+            jnp.where(upd[:, None], desc, smap.lm_desc_pm1[ids_j])
+        )
+        smap.lm_octave = smap.lm_octave.at[ids_j].set(
+            jnp.where(upd, oct_ref, smap.lm_octave[ids_j])
+        )
+
+    # ---------- new map point creation ----------
+
+    def create_new_points(self, smap, kf_id: int, n_neighbors: int = 5) -> int:
+        """Triangulate new landmarks between the new KF and its top covisible
+        neighbors (capability absent in reference — SURVEY.md §3.5)."""
+        covis = smap.covisibility()
+        if smap.n_kf < 2:
+            return 0
+        row = covis[kf_id].copy()
+        order = np.argsort(-row)
+        neighbors = [int(i) for i in order[:n_neighbors] if row[i] >= 10 and i != kf_id]
+        n_created = 0
+        obs_h = np.asarray(smap.kf_obs[kf_id])
+        feat_valid_h = np.asarray(smap.kf_feat_valid[kf_id])
+        inv_s2 = 1.0 / self.scale_factors**2
+        for nb in neighbors:
+            free1 = jnp.asarray(feat_valid_h & (np.asarray(smap.kf_obs[kf_id]) < 0))
+            free2 = smap.kf_feat_valid[nb] & (smap.kf_obs[nb] < 0)
+            T1 = smap.kf_pose[kf_id]
+            T2 = smap.kf_pose[nb]
+            # require a minimal baseline relative to scene depth
+            c1 = -np.asarray(T1[:3, :3]).T @ np.asarray(T1[:3, 3])
+            c2 = -np.asarray(T2[:3, :3]).T @ np.asarray(T2[:3, 3])
+            if np.linalg.norm(c1 - c2) < 1e-6:
+                continue
+            F12 = fundamental_from_poses(T1, T2, jnp.asarray(self.cfg.cam.K))
+            matches = epipolar_match_kf(
+                smap.kf_xy[kf_id],
+                smap.kf_desc_pm1[kf_id],
+                free1,
+                smap.kf_octave[kf_id],
+                smap.kf_xy[nb],
+                smap.kf_desc_pm1[nb],
+                free2,
+                smap.kf_octave[nb],
+                F12,
+                jnp.asarray(1.0 / self.scale_factors**2),
+            )
+            m_h = np.asarray(matches)
+            sel = np.nonzero(m_h >= 0)[0]
+            if len(sel) == 0:
+                continue
+            xy1 = smap.kf_xy[kf_id]
+            xy2 = smap.kf_xy[nb][jnp.asarray(m_h.clip(0))]
+            pair_valid = jnp.asarray(m_h >= 0)
+            oct1 = np.asarray(smap.kf_octave[kf_id])
+            Xw, accept = _triangulate_pairs(
+                T1,
+                T2,
+                jnp.asarray(self.cfg.cam.K),
+                xy1,
+                xy2,
+                pair_valid,
+                jnp.asarray(inv_s2[oct1.clip(0, len(inv_s2) - 1)]),
+            )
+            acc_h = np.asarray(accept)
+            new_feats = np.nonzero(acc_h)[0]
+            if len(new_feats) == 0:
+                continue
+            ids = smap.allocate_landmarks(len(new_feats))
+            desc = smap.kf_desc_pm1[kf_id][jnp.asarray(new_feats)]
+            # provisional invariants; refreshed below
+            smap.add_landmarks(
+                ids,
+                np.asarray(Xw)[new_feats],
+                np.asarray(desc),
+                np.zeros((len(ids), 3), np.float32),
+                oct1[new_feats],
+                np.zeros(len(ids), np.float32),
+                np.full(len(ids), np.inf, np.float32),
+                first_kf=kf_id,
+            )
+            smap.add_observations(kf_id, new_feats, ids)
+            smap.add_observations(nb, m_h[new_feats], ids)
+            self._recent_lms.extend((int(i), kf_id) for i in ids)
+            n_created += len(ids)
+        if n_created:
+            new_ids = np.array([i for i, _ in self._recent_lms[-n_created:]], np.int32)
+            self.refresh_landmarks(smap, new_ids)
+        return n_created
+
+    # ---------- local BA ----------
+
+    def local_ba(self, smap, kf_id: int, iterations: int = 10):
+        """Windowed local bundle adjustment (BASELINE.json config 2).
+
+        Window: the new KF + its most covisible neighbors (cfg.local_window);
+        fixed: all other KFs observing the window's landmarks + gauge."""
+        covis = smap.covisibility()
+        row = covis[kf_id]
+        order = np.argsort(-row)
+        window = [kf_id] + [
+            int(i) for i in order[: self.cfg.local_window - 1] if row[i] >= 15 and i != kf_id
+        ]
+        if len(window) < 2:
+            return
+        lm_ids = np.unique(
+            np.concatenate([smap.keyframe_landmarks(k) for k in window])
+        )
+        if len(lm_ids) == 0:
+            return
+        lm_ids = lm_ids[: self.ba_l]
+        kf_idx, feat_idx, which = smap.observations_of(lm_ids)
+        # cameras: window (free) + others observing these landmarks (fixed)
+        in_window = np.isin(kf_idx, window)
+        fixed_kfs = np.unique(kf_idx[~in_window])
+        cams = list(window) + [int(k) for k in fixed_kfs]
+        cams = cams[: self.ba_k]
+        cam_slot = {k: i for i, k in enumerate(cams)}
+        fixed = np.zeros(len(cams), bool)
+        for i, k in enumerate(cams):
+            if k not in window:
+                fixed[i] = True
+        # gauge: also fix the oldest window KF (and all if tiny map)
+        oldest = min(window)
+        fixed[cam_slot[oldest]] = True
+        if not fixed.any() or len(cams) == 1:
+            return
+
+        keep = np.isin(kf_idx, cams)
+        kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
+        if len(kf_idx) == 0:
+            return
+        n_obs = min(len(kf_idx), self.ba_o)
+        kf_idx, feat_idx, which = kf_idx[:n_obs], feat_idx[:n_obs], which[:n_obs]
+        obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
+        obs_uv = np.asarray(smap.kf_xy)[kf_idx, feat_idx]
+        obs_oct = np.asarray(smap.kf_octave)[kf_idx, feat_idx]
+        inv_s2 = (1.0 / self.scale_factors**2)[obs_oct.clip(0, len(self.scale_factors) - 1)]
+
+        K_pad = self.ba_k
+        L_pad = self.ba_l
+        O_pad = self.ba_o
+        poses = np.tile(np.eye(4, dtype=np.float32), (K_pad, 1, 1))
+        poses[: len(cams)] = np.asarray(smap.kf_pose)[cams]
+        points = np.zeros((L_pad, 3), np.float32)
+        points[: len(lm_ids)] = np.asarray(smap.lm_pos)[lm_ids]
+        fixed_pad = np.ones(K_pad, bool)
+        fixed_pad[: len(cams)] = fixed
+        prob = BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+            obs_cam=jnp.asarray(_pad_to(obs_cam, O_pad)),
+            obs_point=jnp.asarray(_pad_to(which.astype(np.int32), O_pad)),
+            obs_uv=jnp.asarray(_pad_to(obs_uv.astype(np.float32), O_pad)),
+            obs_inv_sigma2=jnp.asarray(_pad_to(inv_s2.astype(np.float32), O_pad, 1.0)),
+            obs_mask=jnp.asarray(
+                _pad_to(np.ones(len(obs_cam), bool), O_pad, False)
+            ),
+            point_obs=jnp.asarray(
+                build_point_obs(_pad_to(which.astype(np.int32), O_pad, -1), L_pad, O_MAX)
+            ),
+            fixed_cam=jnp.asarray(fixed_pad),
+            K=jnp.asarray(self.cfg.cam.K),
+        )
+        poses_new, points_new, chi2 = bundle_adjustment(prob, iterations=iterations)
+        # write back (the reference forgot this — src/Optimizer.cpp:127-128)
+        smap.set_kf_poses(cams, np.asarray(poses_new)[: len(cams)])
+        smap.set_landmark_positions(lm_ids, np.asarray(points_new)[: len(lm_ids)])
+        # scrub outlier observations (chi2 > 5.991 or negative depth)
+        chi2_h = np.asarray(chi2)[: len(obs_cam)]
+        bad = chi2_h > 5.991
+        if bad.any():
+            bad_kf = kf_idx[bad]
+            bad_feat = feat_idx[bad]
+            smap.kf_obs = smap.kf_obs.at[
+                jnp.asarray(bad_kf), jnp.asarray(bad_feat)
+            ].set(-1)
+
+    # ---------- culling ----------
+
+    def cull_landmarks(self, smap, current_kf: int):
+        """Recent-landmark culling (ORB-SLAM MapPointCulling semantics):
+        a new landmark must be observed by >= 3 keyframes within 2 keyframes
+        of its creation or it is erased."""
+        keep, erase = [], []
+        for lm_id, created_at in self._recent_lms:
+            age = current_kf - created_at
+            n_obs = smap.lm_obs_count[lm_id]
+            if age >= 2:
+                if n_obs < 3:
+                    erase.append(lm_id)
+                # else: graduated
+            else:
+                keep.append((lm_id, created_at))
+        self._recent_lms = keep
+        if erase:
+            smap.erase_landmarks(np.array(erase, np.int32))
+        return len(erase)
+
+    # ---------- entry point ----------
+
+    def process_new_keyframe(self, smap, kf_id: int):
+        """ProcessNewKeyFrame + the absent capabilities, in order
+        (ref src/LocalMapping.cpp:11-21 Run + SURVEY.md §3.5 gap list)."""
+        lm_ids = smap.keyframe_landmarks(kf_id)
+        self.refresh_landmarks(smap, lm_ids)
+        self.cull_landmarks(smap, kf_id)
+        self.create_new_points(smap, kf_id)
+        if smap.n_kf >= 3:
+            self.local_ba(smap, kf_id)

@@ -1,0 +1,219 @@
+"""World model: fixed-shape array map (keyframes, landmarks, observations).
+
+Replaces the reference's pointer graph — Map's std::sets (include/Map.h:28-29),
+KeyFrame's per-object members (include/KeyFrame.h), MapPoint's observation
+std::map (include/MapPoint.h:61) — with slot-allocated device arrays
+(SURVEY.md §7.1 design stance):
+
+- keyframe table: poses + per-keyframe feature arrays + obs (feature ->
+  landmark id) — the observation structure IS the (KF, feature) -> landmark
+  index array, so covisibility is one MXU matmul away.
+- landmark table: position, representative descriptor, normal, distance
+  invariants (the reference declared but never defined UpdateNormalAndDepth /
+  ComputeDistinctiveDescriptors — SURVEY.md §2.4; here they are real,
+  slam/local_mapping.py).
+- covisibility: shared-observation counts M @ M^T (KeyFrame::UpdateConnections
+  semantics, src/KeyFrame.cpp:54-116, threshold th=15 applied by consumers),
+  with the reference's self-edge bug (:97,103) structurally impossible.
+
+Mutation is host-driven (single-writer — the reference had shared mutable
+state and zero locks, SURVEY.md §5 race-detection note) but the arrays stay
+on device; hot queries (covisibility, local-map assembly) are jitted.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("l_max",))
+def _covis_matrix(kf_obs: jnp.ndarray, kf_valid: jnp.ndarray, l_max: int):
+    """Shared-landmark counts between keyframes: (K, K) int32.
+
+    kf_obs: (K, F) landmark id or -1. One one-hot matmul on the MXU.
+    """
+    k, f = kf_obs.shape
+    sees = jnp.zeros((k, l_max), jnp.float32)
+    kf_idx = jnp.broadcast_to(jnp.arange(k)[:, None], (k, f))
+    valid = (kf_obs >= 0) & kf_valid[:, None]
+    sees = sees.at[kf_idx, jnp.maximum(kf_obs, 0)].max(valid.astype(jnp.float32))
+    counts = sees @ sees.T  # (K, K)
+    counts = counts * (1.0 - jnp.eye(k))
+    return counts.astype(jnp.int32)
+
+
+class SlamMap:
+    """Slot-allocated map. All arrays are jnp (functional updates)."""
+
+    def __init__(
+        self,
+        k_max: int = 256,
+        l_max: int = 16384,
+        f_max: int = 1024,
+        desc_dim: int = 256,
+    ):
+        self.k_max = k_max
+        self.l_max = l_max
+        self.f_max = f_max
+        self.n_kf = 0
+        self.n_lm = 0
+        self.next_kf_id = 0  # monotonically increasing (ref src/KeyFrame.cpp:5)
+
+        self.kf_pose = jnp.tile(jnp.eye(4, dtype=jnp.float32), (k_max, 1, 1))
+        self.kf_valid = jnp.zeros(k_max, bool)
+        self.kf_frame_id = np.full(k_max, -1, np.int64)  # source frame index
+        self.kf_xy = jnp.zeros((k_max, f_max, 2), jnp.float32)
+        self.kf_octave = jnp.zeros((k_max, f_max), jnp.int32)
+        self.kf_angle = jnp.zeros((k_max, f_max), jnp.float32)
+        self.kf_feat_valid = jnp.zeros((k_max, f_max), bool)
+        self.kf_desc_pm1 = jnp.zeros((k_max, f_max, desc_dim), jnp.int8)
+        self.kf_obs = jnp.full((k_max, f_max), -1, jnp.int32)
+
+        self.lm_pos = jnp.zeros((l_max, 3), jnp.float32)
+        self.lm_valid = jnp.zeros(l_max, bool)
+        self.lm_desc_pm1 = jnp.zeros((l_max, desc_dim), jnp.int8)
+        self.lm_normal = jnp.zeros((l_max, 3), jnp.float32)
+        self.lm_min_dist = jnp.zeros(l_max, jnp.float32)
+        self.lm_max_dist = jnp.full(l_max, jnp.inf, jnp.float32)
+        self.lm_octave = jnp.zeros(l_max, jnp.int32)
+        self.lm_first_kf = np.full(l_max, -1, np.int32)
+        self.lm_obs_count = np.zeros(l_max, np.int32)
+        self.lm_found_count = np.zeros(l_max, np.int32)  # visible->matched ratio
+        self.lm_visible_count = np.zeros(l_max, np.int32)
+
+    # ---------------- keyframes ----------------
+
+    def add_keyframe(self, frame, Tcw: jnp.ndarray, obs: np.ndarray, frame_id: int) -> int:
+        """Insert a Frame snapshot (ref KeyFrame ctor src/KeyFrame.cpp:11-17).
+
+        obs: (F,) int32 landmark id per feature (-1 = none).
+        Returns the keyframe slot id.
+        """
+        if self.n_kf >= self.k_max:
+            raise RuntimeError("keyframe table full (k_max)")
+        k = self.n_kf
+        nf = frame.n_features
+        if nf > self.f_max:
+            raise ValueError(f"frame has {nf} features > map f_max {self.f_max}")
+
+        def pad(x, fill=0):
+            if nf == self.f_max:
+                return x
+            shape = (self.f_max - nf,) + x.shape[1:]
+            return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
+
+        self.kf_pose = self.kf_pose.at[k].set(Tcw)
+        self.kf_valid = self.kf_valid.at[k].set(True)
+        self.kf_frame_id[k] = frame_id
+        self.kf_xy = self.kf_xy.at[k].set(pad(frame.xy))
+        self.kf_octave = self.kf_octave.at[k].set(pad(frame.octave))
+        self.kf_angle = self.kf_angle.at[k].set(pad(frame.angle))
+        self.kf_feat_valid = self.kf_feat_valid.at[k].set(pad(frame.valid, False))
+        self.kf_desc_pm1 = self.kf_desc_pm1.at[k].set(pad(frame.desc_pm1))
+        obs = pad(jnp.asarray(obs, jnp.int32), -1)
+        self.kf_obs = self.kf_obs.at[k].set(
+            jnp.where(self.kf_feat_valid[k], obs, -1)
+        )
+        # bump landmark observation counts
+        host_obs = np.asarray(obs)
+        seen = host_obs[host_obs >= 0]
+        np.add.at(self.lm_obs_count, seen, 1)
+        self.n_kf += 1
+        self.next_kf_id += 1
+        return k
+
+    def set_kf_poses(self, kf_ids, poses):
+        self.kf_pose = self.kf_pose.at[jnp.asarray(kf_ids)].set(jnp.asarray(poses))
+
+    # ---------------- landmarks ----------------
+
+    def allocate_landmarks(self, n: int) -> np.ndarray:
+        if self.n_lm + n > self.l_max:
+            raise RuntimeError("landmark table full (l_max)")
+        ids = np.arange(self.n_lm, self.n_lm + n, dtype=np.int32)
+        self.n_lm += n
+        return ids
+
+    def add_landmarks(
+        self,
+        ids: np.ndarray,
+        pos: jnp.ndarray,
+        desc_pm1: jnp.ndarray,
+        normal: jnp.ndarray,
+        octave: jnp.ndarray,
+        min_dist: jnp.ndarray,
+        max_dist: jnp.ndarray,
+        first_kf: int,
+        valid_mask: np.ndarray | None = None,
+    ):
+        """Batch landmark insertion (ref MapPoint ctor src/MapPoint.cpp:7-15,
+        plus the distance/normal invariants the reference lacked)."""
+        ids_j = jnp.asarray(ids)
+        self.lm_pos = self.lm_pos.at[ids_j].set(jnp.asarray(pos))
+        self.lm_desc_pm1 = self.lm_desc_pm1.at[ids_j].set(jnp.asarray(desc_pm1))
+        self.lm_normal = self.lm_normal.at[ids_j].set(jnp.asarray(normal))
+        self.lm_octave = self.lm_octave.at[ids_j].set(jnp.asarray(octave, jnp.int32))
+        self.lm_min_dist = self.lm_min_dist.at[ids_j].set(jnp.asarray(min_dist))
+        self.lm_max_dist = self.lm_max_dist.at[ids_j].set(jnp.asarray(max_dist))
+        v = np.ones(len(ids), bool) if valid_mask is None else np.asarray(valid_mask)
+        self.lm_valid = self.lm_valid.at[ids_j].set(jnp.asarray(v))
+        self.lm_first_kf[ids] = first_kf
+
+    def set_landmark_positions(self, ids, pos):
+        self.lm_pos = self.lm_pos.at[jnp.asarray(ids)].set(jnp.asarray(pos))
+
+    def erase_landmarks(self, ids: np.ndarray):
+        """SetBadFlag semantics (absent in reference — SURVEY.md §2.1 #6)."""
+        if len(ids) == 0:
+            return
+        ids_j = jnp.asarray(ids)
+        self.lm_valid = self.lm_valid.at[ids_j].set(False)
+        # remove from keyframe observation tables
+        is_bad = jnp.zeros(self.l_max, bool).at[ids_j].set(True)
+        obs_bad = (self.kf_obs >= 0) & is_bad[jnp.maximum(self.kf_obs, 0)]
+        self.kf_obs = jnp.where(obs_bad, -1, self.kf_obs)
+
+    def add_observations(self, kf_id: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
+        """Bind landmark ids to keyframe features (MapPoint::AddObservation +
+        KeyFrame::AddMapPoint semantics, src/MapPoint.cpp:17-24)."""
+        if len(feat_idx) == 0:
+            return
+        self.kf_obs = self.kf_obs.at[kf_id, jnp.asarray(feat_idx)].set(
+            jnp.asarray(lm_ids, jnp.int32)
+        )
+        np.add.at(self.lm_obs_count, np.asarray(lm_ids), 1)
+
+    # ---------------- queries ----------------
+
+    def covisibility(self) -> np.ndarray:
+        """(n_kf, n_kf) shared-landmark counts (host array)."""
+        counts = _covis_matrix(self.kf_obs, self.kf_valid, self.l_max)
+        return np.asarray(counts)[: self.n_kf, : self.n_kf]
+
+    def keyframe_landmarks(self, kf_id: int) -> np.ndarray:
+        """Landmark ids observed by a keyframe (host, deduped, valid only)."""
+        obs = np.asarray(self.kf_obs[kf_id])
+        lm_valid = np.asarray(self.lm_valid)
+        ids = obs[obs >= 0]
+        return np.unique(ids[lm_valid[ids]])
+
+    def observations_of(self, lm_ids: np.ndarray) -> tuple:
+        """(kf_idx, feat_idx, lm_idx_into_input) for all observations of the
+        given landmarks across valid keyframes (host-side)."""
+        obs = np.asarray(self.kf_obs[: self.n_kf])  # (K, F)
+        lookup = np.full(self.l_max, -1, np.int64)
+        lookup[lm_ids] = np.arange(len(lm_ids))
+        hit = (obs >= 0) & (lookup[np.maximum(obs, 0)] >= 0)
+        kf_idx, feat_idx = np.nonzero(hit)
+        return kf_idx, feat_idx, lookup[obs[kf_idx, feat_idx]]
+
+    def stats(self) -> dict:
+        return {
+            "n_kf": self.n_kf,
+            "n_lm": int(np.asarray(jnp.sum(self.lm_valid))),
+            "n_obs": int(np.asarray(jnp.sum(self.kf_obs >= 0))),
+        }

@@ -1,0 +1,118 @@
+"""Relocalization: EPnP-RANSAC against the keyframe database.
+
+The reference declares Relocalization but its body is empty
+(include/Tracking.h:45, SURVEY.md §2.4); original ORB-SLAM relocalizes by
+BoW candidate retrieval + EPnP-RANSAC + pose optimization. TPU-native
+version: candidate keyframes are scored by a full-descriptor matmul match
+(no BoW needed — one MXU matmul per KF batch), then EPnP runs as a vmapped
+hypothesis batch over minimal-set weight masks (the RANSAC wrapper the
+reference's PnPsolver lacked, SURVEY.md §2.1 #11), followed by chi2-gated
+pose optimization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam_in_practice_tpu.frontend.matcher import search_frame_to_kf
+from orbslam_in_practice_tpu.geometry.epnp import epnp
+from orbslam_in_practice_tpu.optim.pose_opt import pose_optimization
+
+N_HYP = 64  # RANSAC hypotheses (vmapped batch)
+MIN_SET = 6
+
+
+@jax.jit
+def _epnp_ransac(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray, K: jnp.ndarray, key):
+    """vmapped EPnP over minimal-set hypotheses; returns best (R, t, err)."""
+    n = pw.shape[0]
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(key, n, shape=(N_HYP, MIN_SET), replace=True, p=probs)
+    w = jnp.zeros((N_HYP, n), jnp.float32).at[
+        jnp.arange(N_HYP)[:, None], idx
+    ].set(1.0)
+
+    def run(wm):
+        R, t, _ = epnp(pw, uv, K, w=wm)
+        # score on ALL valid correspondences
+        pc = pw @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-9)
+        u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+        e2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+        inl = valid & (e2 < 10.0) & (pc[:, 2] > 0)
+        return R, t, jnp.sum(inl)
+
+    Rs, ts, n_inl = jax.vmap(run)(w)
+    best = jnp.argmax(n_inl)
+    return Rs[best], ts[best], n_inl[best]
+
+
+def relocalize(tracker, frame):
+    """Try to relocalize a lost frame against all keyframes.
+
+    Returns (ok, Tcw (4, 4) np, obs (F,) np int32, n_inliers).
+    """
+    smap = tracker.map
+    best = (None, 0)
+    # candidate scoring: descriptor matches against each KF's landmark features
+    for kf in range(smap.n_kf):
+        if not bool(smap.kf_valid[kf]):
+            continue
+        kf_has_lm = smap.kf_feat_valid[kf] & (smap.kf_obs[kf] >= 0)
+        matches = search_frame_to_kf(
+            frame,
+            smap.kf_xy[kf],
+            smap.kf_angle[kf],
+            smap.kf_desc_pm1[kf],
+            kf_has_lm,
+            nn_ratio=0.75,
+        )
+        n = int((np.asarray(matches) >= 0).sum())
+        if n > best[1]:
+            best = ((kf, matches), n)
+    if best[0] is None or best[1] < 15:
+        return False, None, None, 0
+
+    (kf, matches), _ = best
+    m_h = np.asarray(matches)
+    sel = np.nonzero(m_h >= 0)[0]  # frame feature indices
+    kf_obs_h = np.asarray(smap.kf_obs[kf])
+    lm_ids = kf_obs_h[m_h[sel]]
+
+    # fixed-shape correspondence set for the jitted RANSAC
+    n_pad = frame.n_features
+    pw = np.zeros((n_pad, 3), np.float32)
+    uv = np.zeros((n_pad, 2), np.float32)
+    valid = np.zeros(n_pad, bool)
+    pw[sel] = np.asarray(smap.lm_pos)[lm_ids]
+    uv[sel] = np.asarray(frame.xy)[sel]
+    valid[sel] = True
+
+    R, t, n_inl = _epnp_ransac(
+        jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(valid),
+        tracker.K, jax.random.PRNGKey(1),
+    )
+    if int(n_inl) < 10:
+        return False, None, None, 0
+
+    Tcw0 = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
+    obs = np.full(frame.n_features, -1, np.int32)
+    obs[sel] = lm_ids
+    obs_j = jnp.asarray(obs)
+    has = obs_j >= 0
+    Xw = smap.lm_pos[jnp.maximum(obs_j, 0)]
+    inv_s2 = jnp.asarray(tracker.inv_level_sigma2)[
+        jnp.clip(frame.octave, 0, tracker.cfg.n_levels - 1)
+    ]
+    Tcw, inlier, n_in = pose_optimization(
+        Tcw0, Xw, frame.xy, inv_s2, has & frame.valid, tracker.K
+    )
+    if int(np.asarray(n_in)) < 10:
+        return False, None, None, 0
+    inl_h = np.asarray(inlier)
+    obs[~inl_h] = -1
+    return True, np.asarray(Tcw), obs, int(np.asarray(n_in))

@@ -1,0 +1,487 @@
+"""Tracking: the per-frame state machine driving the whole pipeline.
+
+Redesign of the reference's Tracking (src/Tracking.cpp, SURVEY.md §3.2-3.4):
+the 5-state machine (include/Tracking.h:21-28) runs on the host; every
+numeric stage (extraction, matching, pose optimization, initialization) is a
+jitted fixed-shape computation. Implements the stages the reference stubbed:
+SearchByProjection-based motion-model tracking (:344-349 called an empty
+stub), SearchLocalPoints (:389-392 empty), keyframe insertion decision
+(:140-141 comment only), relocalization (include/Tracking.h:45 empty), and
+Reset (include/Tracking.h:33 empty).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam_in_practice_tpu.frontend.matcher import (
+    search_by_projection,
+    search_for_initialization,
+    search_frame_to_kf,
+)
+from orbslam_in_practice_tpu.frontend.orb import ORBExtractor
+from orbslam_in_practice_tpu.optim.pose_opt import pose_optimization
+from orbslam_in_practice_tpu.slam.initializer import initialize_two_view
+from orbslam_in_practice_tpu.slam.local_mapping import LocalMapper
+from orbslam_in_practice_tpu.slam.map import SlamMap
+from orbslam_in_practice_tpu.slam.relocalization import relocalize
+from orbslam_in_practice_tpu.optim.ba import BAProblem, build_point_obs, bundle_adjustment
+
+import jax
+
+
+class TrackingState(Enum):
+    """ref include/Tracking.h:21-28 (STATE_NotReady..STATE_Lost)."""
+
+    NOT_READY = 0
+    NO_IMAGES = 1
+    NOT_INITIALIZED = 2
+    OK = 3
+    LOST = 4
+
+
+LOCAL_MAP_MAX = 4096  # padded local-map landmark budget
+
+
+class Tracking:
+    def __init__(self, config):
+        self.cfg = config
+        self.cam = config.cam
+        self.K = jnp.asarray(self.cam.K)
+        self.extractor = ORBExtractor(
+            config.n_features,
+            config.scale_factor,
+            config.n_levels,
+            config.ini_th_fast,
+            config.min_th_fast,
+            cam=self.cam,
+        )
+        # doubled budget for init (ref src/Tracking.cpp:48)
+        self.ini_extractor = ORBExtractor(
+            2 * config.n_features,
+            config.scale_factor,
+            config.n_levels,
+            config.ini_th_fast,
+            config.min_th_fast,
+            cam=self.cam,
+        )
+        self.scale_factors = jnp.asarray(
+            np.array([config.scale_factor**i for i in range(config.n_levels)], np.float32)
+        )
+        self.inv_level_sigma2 = np.asarray(self.extractor.inv_level_sigma2)
+        # map feature dim sized for the doubled-budget init extractor
+        self.map = SlamMap(config.k_max, config.l_max, self.ini_extractor.total)
+        self.mapper = LocalMapper(config, self.extractor)
+
+        self.state = TrackingState.NO_IMAGES
+        self.frame_id = -1
+        self.last_frame = None
+        self.last_pose = None  # (4, 4) Tcw of last frame
+        self.last_obs = None  # (F,) landmark ids of last frame
+        self.velocity = None  # (4, 4) Tcw_cur @ inv(Tcw_last)
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1e9
+        # init buffers (ref MonocularInitialization :157-224)
+        self._init_frame = None
+        self._init_frame_id = -1
+        self._prev_matched = None
+        # trajectory log: (frame_id, timestamp, Tcw or None)
+        self.trajectory: list = []
+        self.n_inliers = 0
+        self.new_kf_ids: list = []
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Real Reset (ref include/Tracking.h:33 had an empty body)."""
+        self.map = SlamMap(self.cfg.k_max, self.cfg.l_max, self.ini_extractor.total)
+        self.mapper = LocalMapper(self.cfg, self.extractor)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.last_pose = None
+        self.last_obs = None
+        self.velocity = None
+        self.ref_kf = -1
+        self._init_frame = None
+        self._prev_matched = None
+
+    # ------------------------------------------------------------------
+    def track_mono(self, image: jnp.ndarray, timestamp: float):
+        """Per-frame entry (ref track_mono :54-82 + track :84-155).
+
+        image: (H, W) float32 grayscale [0, 255].
+        Returns the current Tcw (4, 4) numpy or None while uninitialized.
+        """
+        self.frame_id += 1
+        extractor = (
+            self.ini_extractor
+            if self.state in (TrackingState.NO_IMAGES, TrackingState.NOT_INITIALIZED)
+            else self.extractor
+        )
+        frame = extractor(jnp.asarray(image, jnp.float32))
+
+        if self.state == TrackingState.NO_IMAGES:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._monocular_initialization(frame)
+            pose = self.last_pose if self.state == TrackingState.OK else None
+        elif self.state == TrackingState.OK:
+            ok = self._track_frame(frame)
+            pose = self.last_pose if ok else None
+        else:  # LOST
+            ok = self._relocalize(frame)
+            pose = self.last_pose if ok else None
+
+        self.trajectory.append(
+            (self.frame_id, timestamp, None if pose is None else np.asarray(pose))
+        )
+        return None if pose is None else np.asarray(pose)
+
+    # ------------------------------------------------------------------
+    # Initialization (ref :157-284)
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, frame):
+        n_kp = int(frame.num_valid())
+        if self._init_frame is None:
+            if n_kp > 100:  # ref :159-171
+                self._init_frame = frame
+                self._init_frame_id = self.frame_id
+                self._prev_matched = frame.xy
+            return
+        if n_kp <= 100:
+            self._init_frame = None
+            return
+
+        matches = search_for_initialization(
+            self._init_frame, frame, self._prev_matched, window=100, nn_ratio=0.9
+        )
+        m_h = np.asarray(matches)
+        n_matches = int((m_h >= 0).sum())
+        if n_matches < 100:  # ref :190-196
+            self._init_frame = None
+            return
+
+        p1 = self._init_frame.xy
+        p2 = frame.xy[jnp.maximum(matches, 0)]
+        mask = matches >= 0
+        result = initialize_two_view(
+            p1, p2, mask, self.K, jax.random.PRNGKey(0)
+        )
+        if not bool(result["success"]):
+            return
+
+        self._create_initial_map(frame, matches, result)
+
+    def _create_initial_map(self, frame, matches, result):
+        """ref CreateInitialMapMonocular :226-284, with real BA write-back."""
+        R = result["R"]
+        t = result["t"]
+        good = np.asarray(result["good_mask"])
+        X = np.asarray(result["points3d"])  # frame-1 camera coords == world
+        m_h = np.asarray(matches)
+
+        T1 = jnp.eye(4, dtype=jnp.float32)
+        T2 = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
+
+        f1 = self._init_frame
+        feat1 = np.nonzero(good)[0]
+        feat2 = m_h[feat1]
+        ids = self.map.allocate_landmarks(len(feat1))
+
+        obs1 = np.full(f1.n_features, -1, np.int32)
+        obs1[feat1] = ids
+        obs2 = np.full(frame.n_features, -1, np.int32)
+        obs2[feat2] = ids
+
+        kf1 = self.map.add_keyframe(f1, T1, obs1, self._init_frame_id)
+        kf2 = self.map.add_keyframe(frame, T2, obs2, self.frame_id)
+
+        oct1 = np.asarray(f1.octave)[feat1]
+        desc1 = np.asarray(f1.desc_pm1)[feat1]
+        self.map.add_landmarks(
+            ids,
+            X[feat1],
+            desc1,
+            np.zeros((len(ids), 3), np.float32),
+            oct1,
+            np.zeros(len(ids), np.float32),
+            np.full(len(ids), np.inf, np.float32),
+            first_kf=kf1,
+        )
+        self.mapper.refresh_landmarks(self.map, ids)
+
+        # full BA on the initial map (ref GlobalBundleAdjustemnt(map, 20) :254)
+        self._initial_global_ba(kf1, kf2, ids)
+
+        # median-depth scale normalization (ref :256-278)
+        Xn = np.asarray(self.map.lm_pos)[ids]
+        T2n = np.array(self.map.kf_pose[kf2])  # writable copy
+        # KF1 is the world origin, so depth in KF1 == world z
+        med = float(np.median(Xn[:, 2]))
+        if med <= 0 or (np.asarray(self.map.kf_obs[kf2]) >= 0).sum() < 80:
+            self.reset()
+            return
+        scale = 1.0 / med
+        Xn = Xn * scale
+        T2n[:3, 3] *= scale
+        self.map.set_landmark_positions(ids, Xn)
+        self.map.set_kf_poses([kf2], [T2n])
+        self.mapper.refresh_landmarks(self.map, ids)
+
+        self.last_pose = jnp.asarray(T2n)
+        self.last_frame = frame
+        self.last_obs = obs2
+        self.ref_kf = kf2
+        self.last_kf_frame_id = self.frame_id
+        self.velocity = None
+        self.state = TrackingState.OK
+        self.new_kf_ids += [kf1, kf2]
+
+    def _initial_global_ba(self, kf1, kf2, ids, iterations: int = 20):
+        kf_idx, feat_idx, which = self.map.observations_of(ids)
+        obs_uv = np.asarray(self.map.kf_xy)[kf_idx, feat_idx]
+        obs_oct = np.asarray(self.map.kf_octave)[kf_idx, feat_idx]
+        inv_s2 = self.inv_level_sigma2[obs_oct.clip(0, self.cfg.n_levels - 1)]
+        cams = [kf1, kf2]
+        cam_slot = {kf1: 0, kf2: 1}
+        obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
+        L = len(ids)
+        prob = BAProblem(
+            poses=jnp.asarray(np.asarray(self.map.kf_pose)[cams]),
+            points=self.map.lm_pos[jnp.asarray(ids)],
+            obs_cam=jnp.asarray(obs_cam),
+            obs_point=jnp.asarray(which.astype(np.int32)),
+            obs_uv=jnp.asarray(obs_uv.astype(np.float32)),
+            obs_inv_sigma2=jnp.asarray(inv_s2.astype(np.float32)),
+            obs_mask=jnp.ones(len(obs_cam), bool),
+            point_obs=jnp.asarray(build_point_obs(which, L, 4)),
+            fixed_cam=jnp.asarray(np.array([True, False])),
+            K=self.K,
+        )
+        poses_new, points_new, chi2 = bundle_adjustment(prob, iterations=iterations)
+        self.map.set_kf_poses(cams, poses_new)
+        self.map.set_landmark_positions(ids, points_new)
+
+    # ------------------------------------------------------------------
+    # Steady-state tracking (ref :95-152)
+    # ------------------------------------------------------------------
+    def _track_frame(self, frame) -> bool:
+        ok = False
+        if self.velocity is not None:
+            ok = self._track_with_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_keyframe(frame)
+        if not ok:
+            self.state = TrackingState.LOST
+            self.velocity = None
+            return False
+
+        ok = self._track_local_map(frame)
+        if not ok:
+            self.state = TrackingState.LOST
+            self.velocity = None
+            return False
+
+        # velocity update (ref :122-138, fixing the uncopied-pose defect :131)
+        if self.last_pose is not None:
+            last_inv = np.linalg.inv(np.asarray(self._prev_pose))
+            self.velocity = jnp.asarray(np.asarray(self.last_pose) @ last_inv)
+
+        if self._need_new_keyframe(frame):
+            self._insert_keyframe(frame)
+
+        self.last_frame = frame
+        return True
+
+    def _gather_landmark_arrays(self, lm_ids: np.ndarray, pad: int):
+        ids = _pad_ids(lm_ids, pad)
+        ids_j = jnp.asarray(ids)
+        valid = jnp.asarray((np.arange(pad) < len(lm_ids)))
+        return (
+            self.map.lm_pos[ids_j],
+            self.map.lm_desc_pm1[ids_j],
+            valid & self.map.lm_valid[ids_j],
+            self.map.lm_octave[ids_j],
+            ids,
+        )
+
+    def _pose_opt_from_matches(self, frame, lm_ids_padded, matches, Tcw_init):
+        """Build (landmark, feature) pairs -> pose_optimization -> obs array."""
+        m_h = np.asarray(matches)
+        sel = m_h >= 0
+        # per-feature landmark binding
+        obs = np.full(frame.n_features, -1, np.int32)
+        obs[m_h[sel]] = lm_ids_padded[: len(m_h)][sel]
+        obs_j = jnp.asarray(obs)
+        has = obs_j >= 0
+        Xw = self.map.lm_pos[jnp.maximum(obs_j, 0)]
+        inv_s2 = jnp.asarray(self.inv_level_sigma2)[
+            jnp.clip(frame.octave, 0, self.cfg.n_levels - 1)
+        ]
+        Tcw, inlier, n_in = pose_optimization(
+            Tcw_init, Xw, frame.xy, inv_s2, has & frame.valid, self.K
+        )
+        inl_h = np.asarray(inlier)
+        obs[~inl_h] = -1
+        return Tcw, obs, int(np.asarray(n_in))
+
+    def _track_with_motion_model(self, frame) -> bool:
+        """ref TrackWithMotionModel :330-372 with a REAL SearchByProjection."""
+        pred = jnp.asarray(np.asarray(self.velocity) @ np.asarray(self.last_pose))
+        lm_ids = self.last_obs[self.last_obs >= 0]
+        lm_ids = np.unique(lm_ids)
+        if len(lm_ids) < 10:
+            return False
+        pts, desc, valid, octv, ids_pad = self._gather_landmark_arrays(
+            lm_ids, self.map.f_max
+        )
+        for radius in (15.0, 30.0):  # ref th=7 then retry wider (:344-349)
+            matches, _, _ = search_by_projection(
+                pts, desc, valid, octv, pred, frame, self.K,
+                jnp.asarray(radius), self.scale_factors,
+            )
+            if int((np.asarray(matches) >= 0).sum()) >= 20:
+                break
+        if int((np.asarray(matches) >= 0).sum()) < 20:
+            return False
+        self._prev_pose = self.last_pose
+        Tcw, obs, n_in = self._pose_opt_from_matches(frame, ids_pad, matches, pred)
+        if n_in < 10:  # ref :358-371
+            return False
+        self.last_pose = Tcw
+        self.last_obs = obs
+        self.n_inliers = n_in
+        return True
+
+    def _track_reference_keyframe(self, frame) -> bool:
+        """ref TrackReferenceKeyFrame :287-328 (SearchByBoW role)."""
+        if self.ref_kf < 0:
+            return False
+        kf = self.ref_kf
+        kf_has_lm = self.map.kf_feat_valid[kf] & (self.map.kf_obs[kf] >= 0)
+        matches = search_frame_to_kf(
+            frame,
+            self.map.kf_xy[kf],
+            self.map.kf_angle[kf],
+            self.map.kf_desc_pm1[kf],
+            kf_has_lm,
+        )
+        m_h = np.asarray(matches)
+        if (m_h >= 0).sum() < 15:  # ref requires >=15 via BoW matches
+            return False
+        # convert feature->feature matches into feature->landmark obs
+        kf_obs_h = np.asarray(self.map.kf_obs[kf])
+        obs = np.full(frame.n_features, -1, np.int32)
+        sel = m_h >= 0
+        obs[sel] = kf_obs_h[m_h[sel]]
+        obs_j = jnp.asarray(obs)
+        has = obs_j >= 0
+        Xw = self.map.lm_pos[jnp.maximum(obs_j, 0)]
+        inv_s2 = jnp.asarray(self.inv_level_sigma2)[
+            jnp.clip(frame.octave, 0, self.cfg.n_levels - 1)
+        ]
+        self._prev_pose = self.last_pose
+        Tcw, inlier, n_in = pose_optimization(
+            jnp.asarray(self.last_pose), Xw, frame.xy, inv_s2, has & frame.valid, self.K
+        )
+        if int(np.asarray(n_in)) < 10:  # ref :312-327
+            return False
+        inl_h = np.asarray(inlier)
+        obs[~inl_h] = -1
+        self.last_pose = Tcw
+        self.last_obs = obs
+        self.n_inliers = int(np.asarray(n_in))
+        return True
+
+    def _local_map_landmarks(self) -> np.ndarray:
+        """K1 covisibility vote (ref UpdateLocalKeyFrames :400-443 +
+        UpdateLocalPoints :445-471, with the indexing defect :462 fixed)."""
+        cur_lms = np.unique(self.last_obs[self.last_obs >= 0])
+        if len(cur_lms) == 0:
+            return cur_lms
+        kf_idx, _, _ = self.map.observations_of(cur_lms)
+        k1, votes = np.unique(kf_idx, return_counts=True)
+        # K1 keyframes + expand via top covisible neighbors (the K2 expansion
+        # the reference left absent, :441-442)
+        covis = self.map.covisibility()
+        local_kfs = set(int(k) for k in k1)
+        for k in list(local_kfs):
+            nb = np.argsort(-covis[k])[:3]
+            for j in nb:
+                if covis[k][j] >= 15:
+                    local_kfs.add(int(j))
+        lms = [self.map.keyframe_landmarks(k) for k in sorted(local_kfs)]
+        return np.unique(np.concatenate(lms)) if lms else cur_lms
+
+    def _track_local_map(self, frame) -> bool:
+        """ref TrackLocalMap :374-387 + the empty SearchLocalPoints :389-392."""
+        lm_ids = self._local_map_landmarks()
+        if len(lm_ids) == 0:
+            return False
+        lm_ids = lm_ids[:LOCAL_MAP_MAX]
+        pts, desc, valid, octv, ids_pad = self._gather_landmark_arrays(
+            lm_ids, LOCAL_MAP_MAX
+        )
+        matches, _, _ = search_by_projection(
+            pts, desc, valid, octv, jnp.asarray(self.last_pose), frame, self.K,
+            jnp.asarray(4.0), self.scale_factors,
+        )
+        Tcw, obs, n_in = self._pose_opt_from_matches(
+            frame, ids_pad, matches, jnp.asarray(self.last_pose)
+        )
+        # ref requires >=30 local-map inliers (original ORB-SLAM)
+        if n_in < 30:
+            return False
+        self.last_pose = Tcw
+        self.last_obs = obs
+        self.n_inliers = n_in
+        return True
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame) -> bool:
+        """Keyframe decision (absent in ref :140-141; ORB-SLAM criteria)."""
+        if self.map.n_kf >= self.cfg.k_max - 2:
+            return False
+        frames_since_kf = self.frame_id - self.last_kf_frame_id
+        if frames_since_kf < 1:
+            return False
+        # reference-KF tracked points at same or finer scale
+        ref_tracked = int((np.asarray(self.map.kf_obs[self.ref_kf]) >= 0).sum())
+        weak = self.n_inliers < 0.9 * max(ref_tracked, 1)
+        long_gap = frames_since_kf >= max(2, int(self.cfg.fps))
+        return (weak or long_gap) and self.n_inliers >= 30
+
+    def _insert_keyframe(self, frame):
+        kf_id = self.map.add_keyframe(
+            frame, jnp.asarray(self.last_pose), self.last_obs, self.frame_id
+        )
+        self.ref_kf = kf_id
+        self.last_kf_frame_id = self.frame_id
+        self.mapper.process_new_keyframe(self.map, kf_id)
+        # poses may have moved in local BA; refresh last_pose to stay consistent
+        self.last_pose = self.map.kf_pose[kf_id]
+        self.new_kf_ids.append(kf_id)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame) -> bool:
+        ok, Tcw, obs, n_in = relocalize(self, frame)
+        if not ok:
+            return False
+        self._prev_pose = jnp.asarray(Tcw)
+        self.last_pose = jnp.asarray(Tcw)
+        self.last_obs = obs
+        self.last_frame = frame
+        self.n_inliers = n_in
+        self.velocity = None
+        self.last_reloc_frame_id = self.frame_id
+        self.state = TrackingState.OK
+        return True
+
+
+def _pad_ids(ids: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, np.int32)
+    out[: min(len(ids), n)] = ids[:n]
+    return out

@@ -1,0 +1,84 @@
+"""SlamSystem: the API facade.
+
+Mirrors the reference's SlamSystem (include/system.h:14-23): construct from a
+settings file (or SlamConfig), feed monocular frames, get poses back — plus
+the pieces the reference lacked: shutdown/reset, trajectory export,
+checkpointing (SURVEY.md §5).
+
+The second constructor argument of the reference named a BoW vocabulary that
+was never loaded (src/system.cpp:10); this engine needs no vocabulary —
+descriptor retrieval is a dense MXU matmul — so the argument is accepted and
+ignored for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orbslam_in_practice_tpu.config import SlamConfig, load_config
+from orbslam_in_practice_tpu.slam.tracking import Tracking, TrackingState
+
+
+class SlamSystem:
+    def __init__(self, config, bow_path: str | None = None):
+        """config: path to an ORB-SLAM style YAML or a SlamConfig."""
+        if isinstance(config, str):
+            config = load_config(config)
+        self.cfg: SlamConfig = config
+        self.tracker = Tracking(config)
+
+    def track_monocular(self, image, timestamp: float):
+        """Feed one grayscale frame (H, W) [0, 255]; returns Tcw or None
+        (ref Trackmonocular src/system.cpp:23-29)."""
+        img = np.asarray(image, np.float32)
+        if img.ndim == 3:  # RGB/BGR -> gray (ref track_mono :56-70)
+            w = (
+                np.array([0.299, 0.587, 0.114], np.float32)
+                if self.cfg.rgb
+                else np.array([0.114, 0.587, 0.299], np.float32)
+            )
+            img = img @ w
+        return self.tracker.track_mono(img, timestamp)
+
+    # alias matching the reference spelling (include/system.h:19)
+    Trackmonocular = track_monocular
+
+    @property
+    def state(self) -> TrackingState:
+        return self.tracker.state
+
+    @property
+    def map(self):
+        return self.tracker.map
+
+    def reset(self):
+        self.tracker.reset()
+
+    def shutdown(self):  # symmetry with ORB-SLAM's API; nothing to join
+        pass
+
+    # ---------------- trajectory / persistence ----------------
+
+    def get_trajectory(self):
+        """[(frame_id, timestamp, Tcw 4x4 np or None), ...]."""
+        return list(self.tracker.trajectory)
+
+    def save_trajectory_tum(self, path: str):
+        from orbslam_in_practice_tpu.io.trajectory import save_tum
+
+        save_tum(path, self.get_trajectory())
+
+    def save_trajectory_kitti(self, path: str):
+        from orbslam_in_practice_tpu.io.trajectory import save_kitti
+
+        save_kitti(path, self.get_trajectory())
+
+    def save_map(self, path: str):
+        from orbslam_in_practice_tpu.utils.checkpoint import save_map
+
+        save_map(path, self.tracker.map)
+
+    def load_map(self, path: str):
+        from orbslam_in_practice_tpu.utils.checkpoint import load_map
+
+        load_map(path, self.tracker.map)

@@ -1,0 +1,73 @@
+"""End-to-end: full SLAM pipeline on a synthetic rendered sequence
+(SURVEY.md §4.3 — init -> tracking -> mapping -> ATE)."""
+
+import numpy as np
+import pytest
+
+from orbslam_in_practice_tpu.config import SlamConfig
+from orbslam_in_practice_tpu.io.evaluation import ate_rmse
+from orbslam_in_practice_tpu.io.synthetic import SyntheticSequence
+from orbslam_in_practice_tpu.system import SlamSystem
+from orbslam_in_practice_tpu.slam.tracking import TrackingState
+
+
+def small_config():
+    return SlamConfig(
+        fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+        width=640, height=480,
+        n_features=600, n_levels=4, fps=10.0,
+        k_max=64, l_max=8192,
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return SyntheticSequence(n_frames=40, n_points=700, kind="strafe", seed=3)
+
+
+def test_e2e_initializes_and_tracks(seq):
+    sys = SlamSystem(small_config())
+    n_tracked = 0
+    for i in range(seq.n_frames):
+        pose = sys.track_monocular(seq.render(i), i * 0.1)
+        if pose is not None:
+            n_tracked += 1
+    assert sys.state == TrackingState.OK
+    stats = sys.map.stats()
+    assert stats["n_kf"] >= 2
+    assert stats["n_lm"] > 50
+    # at least half the frames tracked (init consumes the first few)
+    assert n_tracked > seq.n_frames // 2
+
+    rmse, n_aligned, cov = ate_rmse(sys.get_trajectory(), seq.gt_centers())
+    # synthetic scene, exact projections: ATE should be small relative to the
+    # ~1.6m trajectory extent
+    assert n_aligned > seq.n_frames // 2
+    assert rmse < 0.05
+
+
+def test_e2e_trajectory_export(tmp_path, seq):
+    sys = SlamSystem(small_config())
+    for i in range(20):
+        sys.track_monocular(seq.render(i), i * 0.1)
+    tum = tmp_path / "traj_tum.txt"
+    kitti = tmp_path / "traj_kitti.txt"
+    sys.save_trajectory_tum(str(tum))
+    sys.save_trajectory_kitti(str(kitti))
+    lines = tum.read_text().strip().splitlines()
+    assert len(lines) > 5
+    assert len(lines[0].split()) == 8
+    klines = kitti.read_text().strip().splitlines()
+    assert len(klines[0].split()) == 12
+
+
+def test_e2e_map_checkpoint(tmp_path, seq):
+    sys = SlamSystem(small_config())
+    for i in range(20):
+        sys.track_monocular(seq.render(i), i * 0.1)
+    path = tmp_path / "map.npz"
+    sys.save_map(str(path))
+    stats_before = sys.map.stats()
+    sys2 = SlamSystem(small_config())
+    sys2.load_map(str(path))
+    assert sys2.map.stats() == stats_before
