@@ -276,3 +276,37 @@ def fundamental_from_poses(T1w: jnp.ndarray, T2w: jnp.ndarray, K: jnp.ndarray):
     )
     Kinv = jnp.linalg.inv(K)
     return Kinv.T @ tx @ R21 @ Kinv
+
+
+@partial(jax.jit, static_argnames=("check_rotation",))
+def match_descriptor_sets(
+    desc_a_pm1: jnp.ndarray,
+    mask_a: jnp.ndarray,
+    desc_b_pm1: jnp.ndarray,
+    mask_b: jnp.ndarray,
+    angle_a: jnp.ndarray | None = None,
+    angle_b: jnp.ndarray | None = None,
+    nn_ratio: float = 0.75,
+    max_dist: int = TH_LOW,
+    check_rotation: bool = False,
+):
+    """Generic masked descriptor-set matching (ratio + cross-check).
+
+    Used for keyframe-to-keyframe association in loop closing (the BoW-based
+    SearchByBoW role, stubbed in the reference include/ORBmatcher.h:22).
+    Returns matches: (A,) int32 index into B (-1 unmatched).
+    """
+    dist = hamming_matrix(desc_a_pm1, desc_b_pm1)
+    maskm = mask_a[:, None] & mask_b[None, :]
+    masked = jnp.where(maskm, dist, _BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-masked, 2)
+    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    j_best = idx_top2[:, 0]
+    ok = (d1 <= max_dist) & (d1.astype(jnp.float32) < nn_ratio * d2.astype(jnp.float32))
+    best_for_col = jnp.argmin(masked, axis=0)
+    rows = jnp.arange(desc_a_pm1.shape[0])
+    ok = ok & (best_for_col[j_best] == rows)
+    if check_rotation and angle_a is not None:
+        rot = angle_a - angle_b[j_best]
+        ok = _rotation_consistency(rot, ok)
+    return jnp.where(ok, j_best, -1)

@@ -28,6 +28,7 @@ from orbslam_in_practice_tpu.slam.initializer import initialize_two_view
 from orbslam_in_practice_tpu.slam.local_mapping import LocalMapper
 from orbslam_in_practice_tpu.slam.map import SlamMap
 from orbslam_in_practice_tpu.slam.relocalization import relocalize
+from orbslam_in_practice_tpu.slam.loop_closing import LoopCloser
 from orbslam_in_practice_tpu.optim.ba import BAProblem, build_point_obs, bundle_adjustment
 
 import jax
@@ -75,6 +76,7 @@ class Tracking:
         # map feature dim sized for the doubled-budget init extractor
         self.map = SlamMap(config.k_max, config.l_max, self.ini_extractor.total)
         self.mapper = LocalMapper(config, self.extractor)
+        self.loop_closer = LoopCloser(config) if config.enable_loop_closing else None
 
         self.state = TrackingState.NO_IMAGES
         self.frame_id = -1
@@ -461,7 +463,10 @@ class Tracking:
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self.mapper.process_new_keyframe(self.map, kf_id)
-        # poses may have moved in local BA; refresh last_pose to stay consistent
+        if self.loop_closer is not None and self.loop_closer.attempt(self.map, kf_id):
+            # map geometry jumped: the motion model is stale
+            self.velocity = None
+        # poses may have moved in local BA / loop closure; stay consistent
         self.last_pose = self.map.kf_pose[kf_id]
         self.new_kf_ids.append(kf_id)
 
