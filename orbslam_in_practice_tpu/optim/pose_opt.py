@@ -96,8 +96,16 @@ def pose_optimization(
     def lm_round(Tcw, inlier, use_huber):
         w_mask = inlier.astype(dtype)
 
-        def iter_body(_, state):
-            Tcw, lam, last_err = state
+        def rho_cost(chi2):
+            if not use_huber:
+                return chi2
+            d2 = HUBER_DELTA * HUBER_DELTA
+            return jnp.where(
+                chi2 <= d2, chi2, 2.0 * HUBER_DELTA * jnp.sqrt(chi2) - d2
+            )
+
+        def iter_body(state):
+            Tcw, lam, last_err, it, _ = state
             r, J, z = _residual_jacobian(Tcw, Xw, uv, K)
             chi2 = _chi2(r, inv_sigma2)
             if use_huber:
@@ -106,32 +114,40 @@ def pose_optimization(
             else:
                 wh = jnp.ones_like(chi2)
             w = w_mask * inv_sigma2 * wh  # (N,)
-            H = jnp.einsum("nai,n,naj->ij", J, w, J)
-            g = -jnp.einsum("nai,n,na->i", J, w, r)
+            # MXU-shaped normal equations: A = sqrt(w) J flattened (2N, 6)
+            sw = jnp.sqrt(w)[:, None]
+            A = (J * sw[..., None]).reshape(-1, 6)
+            b = (r * sw).reshape(-1)
+            H = A.T @ A
+            g = -(b @ A)
             H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
             delta = jnp.linalg.solve(H_damped, g)
             Tcw_new = exp_se3(delta) @ Tcw
             r_new, _, _ = _residual_jacobian(Tcw_new, Xw, uv, K)
             chi2_new = _chi2(r_new, inv_sigma2)
-            if use_huber:
-                d2 = HUBER_DELTA * HUBER_DELTA
-                rho = jnp.where(
-                    chi2_new <= d2, chi2_new, 2.0 * HUBER_DELTA * jnp.sqrt(chi2_new) - d2
-                )
-                rho_old = jnp.where(
-                    chi2 <= d2, chi2, 2.0 * HUBER_DELTA * jnp.sqrt(chi2) - d2
-                )
-            else:
-                rho, rho_old = chi2_new, chi2
-            err_new = jnp.sum(rho * w_mask)
-            err_old = jnp.sum(rho_old * w_mask)
+            err_new = jnp.sum(rho_cost(chi2_new) * w_mask)
+            err_old = jnp.sum(rho_cost(chi2) * w_mask)
             accept = err_new < err_old
             Tcw = jnp.where(accept, Tcw_new, Tcw)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return Tcw, lam, jnp.where(accept, err_new, err_old)
+            err = jnp.where(accept, err_new, err_old)
+            # converged: step accepted with a vanishing update, or rejected
+            # with a tiny prospective improvement
+            done = jnp.sum(delta * delta) < 1e-12
+            return Tcw, lam, err, it + 1, done
 
-        init = (Tcw, jnp.asarray(1e-3, dtype), jnp.asarray(jnp.inf, dtype))
-        Tcw, _, _ = lax.fori_loop(0, iters_per_round, iter_body, init)
+        def cond(state):
+            _, _, _, it, done = state
+            return (it < iters_per_round) & (~done)
+
+        init = (
+            Tcw,
+            jnp.asarray(1e-3, dtype),
+            jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        Tcw, _, _, _, _ = lax.while_loop(cond, iter_body, init)
         return Tcw
 
     Tcw = Tcw0
