@@ -380,6 +380,67 @@ class LocalMapper:
                 jnp.asarray(bad_kf), jnp.asarray(bad_feat)
             ].set(-1)
 
+    # ---------- fusion ----------
+
+    def fuse_neighbors(self, smap, kf_id: int, n_neighbors: int = 5) -> int:
+        """SearchInNeighbors / ORBmatcher::Fuse semantics (absent in the
+        reference — SURVEY.md §3.5): project the new KF's landmarks into its
+        covisible neighbors; matched free features gain an observation;
+        matched features holding ANOTHER landmark trigger a merge (the
+        landmark with more observations wins)."""
+        from orbslam_in_practice_tpu.frontend.matcher import (
+            TH_LOW,
+            search_by_projection,
+        )
+
+        covis = smap.covisibility()
+        row = covis[kf_id]
+        order = np.argsort(-row)
+        neighbors = [int(i) for i in order[:n_neighbors] if row[i] >= 15 and i != kf_id]
+        lm_ids = smap.keyframe_landmarks(kf_id)
+        if len(lm_ids) == 0 or not neighbors:
+            return 0
+        pad = smap.f_max
+        ids_pad = np.zeros(pad, np.int32)
+        ids_pad[: min(len(lm_ids), pad)] = lm_ids[:pad]
+        ids_j = jnp.asarray(ids_pad)
+        pts = smap.lm_pos[ids_j]
+        desc = smap.lm_desc_pm1[ids_j]
+        octv = smap.lm_octave[ids_j]
+        base_valid = jnp.asarray(np.arange(pad) < len(lm_ids)) & smap.lm_valid[ids_j]
+        n_fused = 0
+        for nb in neighbors:
+            frame_b = smap.pseudo_frame(nb)
+            matches, _, _ = search_by_projection(
+                pts, desc, base_valid, octv,
+                smap.kf_pose[nb], frame_b, jnp.asarray(self.cfg.cam.K),
+                jnp.asarray(3.0),
+                jnp.asarray(self.scale_factors),
+                max_th_dist=TH_LOW,
+            )
+            m_h = np.asarray(matches)
+            obs_b = np.asarray(smap.kf_obs[nb])
+            add_feats, add_lms = [], []
+            for i in np.nonzero(m_h >= 0)[0]:
+                lm = int(ids_pad[i])
+                feat = int(m_h[i])
+                existing = int(obs_b[feat])
+                if existing < 0:
+                    add_feats.append(feat)
+                    add_lms.append(lm)
+                elif existing != lm:
+                    if smap.lm_obs_count[existing] >= smap.lm_obs_count[lm]:
+                        smap.replace_landmark(lm, existing)
+                    else:
+                        smap.replace_landmark(existing, lm)
+                    n_fused += 1
+            if add_feats:
+                smap.add_observations(nb, np.asarray(add_feats), np.asarray(add_lms))
+                n_fused += len(add_feats)
+        if n_fused:
+            self.refresh_landmarks(smap, smap.keyframe_landmarks(kf_id))
+        return n_fused
+
     # ---------- culling ----------
 
     def cull_landmarks(self, smap, current_kf: int):
@@ -401,14 +462,59 @@ class LocalMapper:
             smap.erase_landmarks(np.array(erase, np.int32))
         return len(erase)
 
+    def cull_keyframes(self, smap, kf_id: int) -> int:
+        """Redundant-keyframe culling (ORB-SLAM KeyFrameCulling semantics,
+        absent in the reference — SURVEY.md §2.1 #5): a covisible KF is
+        removed when >= 90% of its landmarks are observed by at least 3
+        other keyframes at the same or a finer octave. Vectorized via a
+        per-landmark cumulative octave histogram."""
+        covis = smap.covisibility()
+        candidates = [
+            int(j)
+            for j in np.nonzero(covis[kf_id] >= 15)[0]
+            if j not in (0, 1) and j != kf_id
+        ]
+        if not candidates:
+            return 0
+        obs_all = np.array(np.asarray(smap.kf_obs[: smap.n_kf]))  # writable
+        oct_all = np.asarray(smap.kf_octave[: smap.n_kf])
+        valid_kf = np.array(np.asarray(smap.kf_valid[: smap.n_kf]))
+        n_levels = self.cfg.n_levels
+        n_culled = 0
+        for k in candidates:
+            if not valid_kf[k]:
+                continue
+            feats = np.nonzero(obs_all[k] >= 0)[0]
+            if len(feats) < 20:
+                continue
+            sel = valid_kf[:, None] & (obs_all >= 0)
+            lm_flat = obs_all[sel]
+            oct_flat = np.clip(oct_all[sel], 0, n_levels - 1)
+            hist = np.zeros((smap.l_max, n_levels), np.int32)
+            np.add.at(hist, (lm_flat, oct_flat), 1)
+            cum = np.cumsum(hist, axis=1)
+            lms = obs_all[k, feats]
+            octs = np.clip(oct_all[k, feats] + 1, 0, n_levels - 1)
+            n_better = cum[lms, octs] - 1  # minus this KF's own observation
+            redundant = int((n_better >= 3).sum())
+            if redundant > 0.9 * len(feats):
+                smap.remove_keyframe(k)
+                valid_kf[k] = False
+                obs_all[k] = -1
+                n_culled += 1
+        return n_culled
+
     # ---------- entry point ----------
 
-    def process_new_keyframe(self, smap, kf_id: int):
+    def process_new_keyframe(self, smap, kf_id: int, cull_kfs: bool = True):
         """ProcessNewKeyFrame + the absent capabilities, in order
         (ref src/LocalMapping.cpp:11-21 Run + SURVEY.md §3.5 gap list)."""
         lm_ids = smap.keyframe_landmarks(kf_id)
         self.refresh_landmarks(smap, lm_ids)
         self.cull_landmarks(smap, kf_id)
         self.create_new_points(smap, kf_id)
+        self.fuse_neighbors(smap, kf_id)
         if smap.n_kf >= 3:
             self.local_ba(smap, kf_id)
+        if cull_kfs and smap.n_kf >= 8:
+            self.cull_keyframes(smap, kf_id)

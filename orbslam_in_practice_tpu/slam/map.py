@@ -217,3 +217,57 @@ class SlamMap:
             "n_lm": int(np.asarray(jnp.sum(self.lm_valid))),
             "n_obs": int(np.asarray(jnp.sum(self.kf_obs >= 0))),
         }
+
+    def remove_keyframe(self, kf_id: int):
+        """KeyFrame::SetBadFlag semantics (absent in reference — SURVEY.md
+        §2.1 #5 'SetBadFlag/culling absent'): drop the KF and its
+        observations; landmark bookkeeping updated."""
+        obs = np.asarray(self.kf_obs[kf_id])
+        seen = obs[obs >= 0]
+        np.subtract.at(self.lm_obs_count, seen, 1)
+        self.kf_valid = self.kf_valid.at[kf_id].set(False)
+        self.kf_obs = self.kf_obs.at[kf_id].set(-1)
+        self.kf_feat_valid = self.kf_feat_valid.at[kf_id].set(False)
+
+    def replace_landmark(self, loser: int, winner: int):
+        """MapPoint::Replace semantics: merge duplicate landmarks after
+        fusion; every observation of `loser` re-points to `winner` unless the
+        keyframe already observes `winner` (then the duplicate is dropped)."""
+        obs = np.asarray(self.kf_obs)
+        loser_kf, loser_feat = np.nonzero(obs == loser)
+        sees_winner = (obs == winner).any(axis=1)
+        updates_kf, updates_feat, drop_kf, drop_feat = [], [], [], []
+        for k, f in zip(loser_kf, loser_feat):
+            if sees_winner[k]:
+                drop_kf.append(k)
+                drop_feat.append(f)
+            else:
+                updates_kf.append(k)
+                updates_feat.append(f)
+        if updates_kf:
+            self.kf_obs = self.kf_obs.at[
+                jnp.asarray(updates_kf), jnp.asarray(updates_feat)
+            ].set(winner)
+            self.lm_obs_count[winner] += len(updates_kf)
+        if drop_kf:
+            self.kf_obs = self.kf_obs.at[
+                jnp.asarray(drop_kf), jnp.asarray(drop_feat)
+            ].set(-1)
+        self.lm_valid = self.lm_valid.at[loser].set(False)
+        self.lm_obs_count[loser] = 0
+
+    def pseudo_frame(self, kf_id: int):
+        """View a stored keyframe as a Frame (for projection-based matching
+        against keyframes — fusion, loop closing)."""
+        from orbslam_in_practice_tpu.frontend.frame import Frame
+
+        return Frame(
+            xy=self.kf_xy[kf_id],
+            xy_raw=self.kf_xy[kf_id],
+            octave=self.kf_octave[kf_id],
+            angle=self.kf_angle[kf_id],
+            response=jnp.zeros(self.f_max, jnp.float32),
+            valid=self.kf_feat_valid[kf_id],
+            desc_packed=jnp.zeros((self.f_max, 8), jnp.uint32),
+            desc_pm1=self.kf_desc_pm1[kf_id],
+        )

@@ -1,0 +1,95 @@
+"""Map maintenance: fusion, landmark merge, keyframe removal/culling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam_in_practice_tpu.config import SlamConfig
+from orbslam_in_practice_tpu.slam.map import SlamMap
+
+
+class FakeFrame:
+    def __init__(self, n, xy, valid, desc, octave=None):
+        self.n_features = n
+        self.xy = jnp.asarray(xy)
+        self.octave = jnp.zeros(n, jnp.int32) if octave is None else jnp.asarray(octave)
+        self.angle = jnp.zeros(n, jnp.float32)
+        self.response = jnp.zeros(n, jnp.float32)
+        self.valid = jnp.asarray(valid)
+        self.desc_pm1 = jnp.asarray(desc)
+
+
+def make_map(n_feat=64):
+    smap = SlamMap(k_max=8, l_max=256, f_max=n_feat)
+    return smap
+
+
+def add_kf(smap, rng, obs, n_feat=64):
+    xy = rng.uniform(0, 640, (n_feat, 2)).astype(np.float32)
+    desc = (rng.integers(0, 2, (n_feat, 256)).astype(np.int8) * 2 - 1)
+    f = FakeFrame(n_feat, xy, np.ones(n_feat, bool), desc)
+    return smap.add_keyframe(f, jnp.eye(4), np.asarray(obs, np.int32), smap.n_kf)
+
+
+def test_replace_landmark(rng):
+    smap = make_map()
+    ids = smap.allocate_landmarks(3)  # 0,1,2
+    smap.lm_valid = smap.lm_valid.at[:3].set(True)
+    obs0 = np.full(64, -1)
+    obs0[0] = 0
+    obs0[1] = 1
+    add_kf(smap, rng, obs0)
+    obs1 = np.full(64, -1)
+    obs1[0] = 1  # kf1 sees only landmark 1
+    add_kf(smap, rng, obs1)
+    # merge 0 -> 1: kf0 feature 0 re-points to 1? kf0 already sees 1 at
+    # feature 1, so the duplicate must be dropped instead
+    smap.replace_landmark(0, 1)
+    obs = np.asarray(smap.kf_obs)
+    assert obs[0, 0] == -1  # dropped (kf0 already observed winner)
+    assert obs[0, 1] == 1
+    assert obs[1, 0] == 1
+    assert not bool(smap.lm_valid[0])
+
+
+def test_remove_keyframe(rng):
+    smap = make_map()
+    smap.allocate_landmarks(2)
+    smap.lm_valid = smap.lm_valid.at[:2].set(True)
+    obs = np.full(64, -1)
+    obs[0] = 0
+    obs[1] = 1
+    k0 = add_kf(smap, rng, obs)
+    k1 = add_kf(smap, rng, obs)
+    assert smap.lm_obs_count[0] == 2
+    smap.remove_keyframe(k1)
+    assert not bool(smap.kf_valid[k1])
+    assert smap.lm_obs_count[0] == 1
+    assert (np.asarray(smap.kf_obs[k1]) == -1).all()
+
+
+def test_covisibility_counts(rng):
+    smap = make_map()
+    smap.allocate_landmarks(20)
+    smap.lm_valid = smap.lm_valid.at[:20].set(True)
+    obs_a = np.full(64, -1)
+    obs_a[:20] = np.arange(20)
+    obs_b = np.full(64, -1)
+    obs_b[:10] = np.arange(10)  # shares 10 with A
+    add_kf(smap, rng, obs_a)
+    add_kf(smap, rng, obs_b)
+    covis = smap.covisibility()
+    assert covis[0, 1] == 10
+    assert covis[1, 0] == 10
+    assert covis[0, 0] == 0
+
+
+def test_pseudo_frame_matches_stored(rng):
+    smap = make_map()
+    smap.allocate_landmarks(1)
+    obs = np.full(64, -1)
+    obs[0] = 0
+    k = add_kf(smap, rng, obs)
+    pf = smap.pseudo_frame(k)
+    assert pf.n_features == smap.f_max
+    assert np.allclose(np.asarray(pf.xy), np.asarray(smap.kf_xy[k]))
+    assert np.array_equal(np.asarray(pf.desc_pm1), np.asarray(smap.kf_desc_pm1[k]))
