@@ -21,6 +21,7 @@ import numpy as np
 from orbslam_in_practice_tpu.frontend.frame import Frame
 from orbslam_in_practice_tpu.geometry.camera import CameraIntrinsics, undistort_points
 from orbslam_in_practice_tpu.ops.fast import fast_score, nms3x3
+from orbslam_in_practice_tpu.ops.pallas_fast import fast_score_nms
 from orbslam_in_practice_tpu.ops.hamming import unpack_to_pm1
 from orbslam_in_practice_tpu.ops.image import build_pyramid, gaussian_blur7
 from orbslam_in_practice_tpu.ops.orb import (
@@ -43,6 +44,7 @@ class ORBExtractor:
         ini_th_fast: float = 20.0,
         min_th_fast: float = 7.0,
         cam: CameraIntrinsics | None = None,
+        use_pallas: bool | None = None,
     ):
         self.n_features = n_features
         self.scale_factor = scale_factor
@@ -50,6 +52,12 @@ class ORBExtractor:
         self.ini_th = ini_th_fast
         self.min_th = min_th_fast
         self.cam = cam
+        # fused Pallas FAST+NMS kernel on TPU; jnp path elsewhere
+        if use_pallas is None:
+            import jax as _jax
+
+            use_pallas = _jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self.budgets = level_budgets(n_features, n_levels, scale_factor)
         self.total = sum(self.budgets)
         # per-octave scale^2 (information weights for BA, fixing the
@@ -74,7 +82,10 @@ class ORBExtractor:
             budget = self.budgets[lvl]
             if budget <= 0:
                 continue
-            score = nms3x3(fast_score(img_l))
+            if self.use_pallas:
+                score = fast_score_nms(img_l, interpret=False)
+            else:
+                score = nms3x3(fast_score(img_l))
             yx, resp, valid = select_keypoints(
                 score, budget, self.ini_th, self.min_th
             )
