@@ -14,6 +14,14 @@ import numpy as np
 
 
 def _load_image_gray(path: str) -> np.ndarray:
+    # native decoder first (netpbm; threaded prefetch available via
+    # io.native_loader.PrefetchQueue), PIL for png/jpg
+    if path.endswith((".pgm", ".ppm", ".pnm")):
+        from orbslam_in_practice_tpu.io import native_loader
+
+        img = native_loader.read_image(path)
+        if img is not None:
+            return img
     try:
         from PIL import Image
 
