@@ -158,7 +158,7 @@ class LoopCloser:
 
     # ---------------- correction ----------------
 
-    def close_loop(self, smap, kf_id: int, cand: int, s, R, t):
+    def close_loop(self, smap, kf_id: int, cand: int, s, R, t, run_global_ba: bool = True):
         """Essential-graph optimization with the loop constraint; write back
         corrected poses and landmark positions."""
         n = smap.n_kf
@@ -228,6 +228,27 @@ class LoopCloser:
             T[:3, 3] /= float(s_k)  # Sim3 [sR|t] ~ SE3 [R|t/s] as world map
             new_poses.append(T)
         smap.set_kf_poses(list(range(n)), np.stack(new_poses))
+        # full-map refinement after the graph correction (original ORB-SLAM's
+        # RunGlobalBundleAdjustment; synchronous here)
+        if run_global_ba:
+            from orbslam_in_practice_tpu.slam.global_ba import (
+                global_bundle_adjustment,
+            )
+
+            inv_s2 = np.array(
+                [
+                    1.0 / (self.cfg.scale_factor**i) ** 2
+                    for i in range(self.cfg.n_levels)
+                ],
+                np.float32,
+            )
+            global_bundle_adjustment(
+                smap,
+                np.asarray(self.cfg.cam.K),
+                inv_s2,
+                iterations=10,
+                fixed_kfs=(cand,),
+            )
         self.n_closures += 1
         self.last_loop_kf = kf_id
         return True

@@ -43,9 +43,9 @@ def _make_loop_map(rng, n_kf=20):
     landmark ids (pre-closure state): the revisit keyframes observe duplicate
     landmark slots at the same world locations with the same descriptors —
     exactly what un-closed drift produces."""
-    cfg = SlamConfig(k_max=32, l_max=4096, n_features=256)
+    cfg = SlamConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0, k_max=32, l_max=4096, n_features=256)
     smap = SlamMap(cfg.k_max, cfg.l_max, 256)
-    K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], np.float32)
+    K = np.asarray(cfg.cam.K)
 
     n_world = 400
     lm_world = np.stack(
@@ -171,13 +171,31 @@ def test_compute_sim3_identity_when_no_drift(rng):
     assert np.allclose(R, T_rel[:3, :3], atol=0.03)
 
 
+def _aligned_rmse(smap, true_poses, n):
+    """Sim3-aligned RMSE of KF centers vs truth (monocular scale gauge is
+    free after global BA with a single fixed camera, so absolute comparison
+    is the wrong metric)."""
+    from orbslam_in_practice_tpu.geometry.sim3 import horn_sim3
+
+    est = np.stack(
+        [
+            -(np.asarray(smap.kf_pose[k])[:3, :3].T @ np.asarray(smap.kf_pose[k])[:3, 3])
+            for k in range(n)
+        ]
+    )
+    gt = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in true_poses])
+    s, R, t = horn_sim3(jnp.asarray(est), jnp.asarray(gt))
+    aligned = float(s) * est @ np.asarray(R).T + np.asarray(t)
+    return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=-1))))
+
+
 def test_full_loop_closure_corrects_drift(rng):
     cfg, smap, true_poses = _make_loop_map(rng)
     n = smap.n_kf
     _inject_drift(smap, n)
-    err_before = np.linalg.norm(np.asarray(smap.kf_pose[n - 1]) - true_poses[n - 1])
+    err_before = _aligned_rmse(smap, true_poses, n)
     lc = LoopCloser(cfg)
     closed = lc.attempt(smap, n - 1)
     assert closed, "loop closure should trigger"
-    err_after = np.linalg.norm(np.asarray(smap.kf_pose[n - 1]) - true_poses[n - 1])
+    err_after = _aligned_rmse(smap, true_poses, n)
     assert err_after < 0.5 * err_before, (err_before, err_after)
