@@ -105,23 +105,33 @@ def search_by_projection(
     max_th_dist: int = TH_HIGH,
     use_ratio: bool = False,
     nn_ratio: float = 0.9,
+    pts_normal: jnp.ndarray | None = None,
+    pts_min_dist: jnp.ndarray | None = None,
+    pts_max_dist: jnp.ndarray | None = None,
 ):
     """Project world points into the frame, match in a radius window.
 
     Implements the contract of ORB-SLAM's SearchByProjection (stubbed empty
-    in the reference, include/ORBmatcher.h:24): per point, search features
-    within radius * scale_factor[octave] pixels whose octave is within
-    [oct-1, oct+1] of the point's reference octave, pick min Hamming.
+    in the reference, include/ORBmatcher.h:24) + the isInFrustum gating the
+    reference's Frame couldn't perform (src/Frame.cpp:194-195 read
+    uninitialized min/max view distances — SURVEY.md §2.4): per point,
+    require positive depth, image bounds, distance within
+    [0.8 min, 1.2 max], viewing-angle cosine > 0.5 against the landmark
+    normal, then search features within radius * scale_factor[predicted
+    octave] pixels whose octave matches the DISTANCE-PREDICTED scale
+    (ORB-SLAM's PredictScale) within ±1, pick min Hamming.
 
     Args:
       pts_w: (M, 3) world positions; pts_desc_pm1: (M, 256) representative
-      descriptors; pts_valid: (M,); pts_octave: (M,) reference octave;
-      Tcw: (4, 4); radius: scalar or (M,) base search radius in pixels.
+      descriptors; pts_valid: (M,); pts_octave: (M,) reference octave
+      (fallback when distance invariants are not given); Tcw: (4, 4);
+      radius: scalar or (M,) base search radius in pixels; optional
+      pts_normal (M, 3), pts_min_dist / pts_max_dist (M,).
 
     Returns:
       (matches: (M,) int32 feature index or -1,
        proj_uv: (M, 2) projected pixel coords,
-       in_image: (M,) bool point projected in front & inside bounds)
+       in_image: (M,) bool frustum test result)
     """
     R = Tcw[:3, :3]
     t = Tcw[:3, 3]
@@ -139,14 +149,35 @@ def search_by_projection(
     max_y = jnp.max(jnp.where(frame.valid, frame.xy[:, 1], -jnp.inf))
     in_image = (z > 0.0) & (u >= min_x) & (u <= max_x) & (v >= min_y) & (v <= max_y)
 
+    # frustum gating via landmark invariants (isInFrustum semantics)
+    cam_center = -R.T @ t
+    po = pts_w - cam_center
+    d = jnp.linalg.norm(po, axis=-1)
+    pred_octave = pts_octave
+    if pts_min_dist is not None and pts_max_dist is not None:
+        dist_ok = (d >= 0.8 * pts_min_dist) & (d <= 1.2 * pts_max_dist)
+        in_image = in_image & dist_ok
+        # PredictScale: level such that max_dist / scale^level ~ d
+        n_levels = scale_factors.shape[0]
+        log_scale = jnp.log(scale_factors[1] / scale_factors[0])
+        ratio = jnp.maximum(pts_max_dist, 1e-9) / jnp.maximum(d, 1e-9)
+        pred_octave = jnp.clip(
+            jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale).astype(jnp.int32),
+            0,
+            n_levels - 1,
+        )
+    if pts_normal is not None:
+        view_cos = jnp.sum(po * pts_normal, axis=-1) / jnp.maximum(d, 1e-9)
+        in_image = in_image & (view_cos > 0.5)
+
     dist = hamming_matrix(pts_desc_pm1, frame.desc_pm1)  # (M, N)
     r_scaled = jnp.broadcast_to(
         jnp.asarray(radius, jnp.float32), pts_valid.shape
-    ) * scale_factors[jnp.clip(pts_octave, 0, scale_factors.shape[0] - 1)]
+    ) * scale_factors[jnp.clip(pred_octave, 0, scale_factors.shape[0] - 1)]
     du = jnp.abs(proj[:, 0:1] - frame.xy[None, :, 0])
     dv = jnp.abs(proj[:, 1:2] - frame.xy[None, :, 1])
     in_win = (du <= r_scaled[:, None]) & (dv <= r_scaled[:, None])
-    oct_ok = jnp.abs(frame.octave[None, :] - pts_octave[:, None]) <= 1
+    oct_ok = jnp.abs(frame.octave[None, :] - pred_octave[:, None]) <= 1
     maskm = (
         pts_valid[:, None]
         & in_image[:, None]

@@ -298,16 +298,23 @@ class Tracking:
         self.last_frame = frame
         return True
 
-    def _gather_landmark_arrays(self, lm_ids: np.ndarray, pad: int):
+    def _gather_landmark_arrays(self, lm_ids: np.ndarray, pad: int, invariants=False):
         ids = _pad_ids(lm_ids, pad)
         ids_j = jnp.asarray(ids)
         valid = jnp.asarray((np.arange(pad) < len(lm_ids)))
-        return (
+        base = (
             self.map.lm_pos[ids_j],
             self.map.lm_desc_pm1[ids_j],
             valid & self.map.lm_valid[ids_j],
             self.map.lm_octave[ids_j],
             ids,
+        )
+        if not invariants:
+            return base
+        return base + (
+            self.map.lm_normal[ids_j],
+            self.map.lm_min_dist[ids_j],
+            self.map.lm_max_dist[ids_j],
         )
 
     def _pose_opt_from_matches(self, frame, lm_ids_padded, matches, Tcw_init):
@@ -424,12 +431,13 @@ class Tracking:
         if len(lm_ids) == 0:
             return False
         lm_ids = lm_ids[:LOCAL_MAP_MAX]
-        pts, desc, valid, octv, ids_pad = self._gather_landmark_arrays(
-            lm_ids, LOCAL_MAP_MAX
+        pts, desc, valid, octv, ids_pad, normal, min_d, max_d = (
+            self._gather_landmark_arrays(lm_ids, LOCAL_MAP_MAX, invariants=True)
         )
         matches, _, _ = search_by_projection(
             pts, desc, valid, octv, jnp.asarray(self.last_pose), frame, self.K,
             jnp.asarray(4.0), self.scale_factors,
+            pts_normal=normal, pts_min_dist=min_d, pts_max_dist=max_d,
         )
         Tcw, obs, n_in = self._pose_opt_from_matches(
             frame, ids_pad, matches, jnp.asarray(self.last_pose)
