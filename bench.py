@@ -26,6 +26,10 @@ CPU_BASELINE_FPS = 2.46  # measured: this same jitted step on host CPU (this con
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax
+
     from __graft_entry__ import entry
 
     fn, args = entry()

@@ -1,0 +1,114 @@
+"""Distributed-BA scaling measurement (BASELINE.json config 5 tooling).
+
+Runs the same global-BA problem on 1..N mesh shards and reports timing,
+plus the analytic communication/computation ratio that governs real-pod
+efficiency. NOTE: on this container the mesh is N virtual devices on ONE
+physical CPU — total compute capacity does not grow with N, so wall-clock
+"efficiency" here only validates that sharded execution is not slower; the
+architectural argument for >= 80% two-host efficiency (BASELINE.json
+config 5) is the comm/comp ratio: the psum payload is the (K,6K+1) reduced
+camera system, independent of the landmark/observation count, while local
+work grows with the shard's observations — see parallel/dist_ba.py.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_problem(rng, n_cams=32, n_pts=8192, obs_per_pt=6):
+    import jax.numpy as jnp
+    from orbslam_in_practice_tpu.geometry import se3
+
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]], np.float32)
+    pts = np.stack(
+        [rng.uniform(-8, 8, n_pts), rng.uniform(-5, 5, n_pts), rng.uniform(6, 18, n_pts)],
+        axis=-1,
+    ).astype(np.float32)
+    poses = []
+    for c in range(n_cams):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(
+            se3.exp_so3(jnp.asarray(rng.normal(size=3) * 0.02, dtype=jnp.float32))
+        )
+        T[:3, 3] = np.array([0.2 * c, 0.01 * c, 0.0])
+        poses.append(T)
+    poses = np.stack(poses)
+    obs_cam, obs_point, obs_uv = [], [], []
+    for p in range(n_pts):
+        cams = rng.choice(n_cams, size=obs_per_pt, replace=False)
+        for c in cams:
+            pc = pts[p] @ poses[c][:3, :3].T + poses[c][:3, 3]
+            if pc[2] <= 0.1:
+                continue
+            uv = pc[:2] / pc[2] * np.diag(K)[:2] + K[:2, 2]
+            obs_cam.append(c)
+            obs_point.append(p)
+            obs_uv.append(uv + rng.normal(size=2) * 0.5)
+    return (
+        poses,
+        pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05,
+        np.asarray(obs_cam, np.int32),
+        np.asarray(obs_point, np.int32),
+        np.asarray(obs_uv, np.float32),
+        K,
+    )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
+    from jax.sharding import Mesh
+
+    from orbslam_in_practice_tpu.parallel.dist_ba import (
+        dist_bundle_adjustment,
+        partition_ba_problem,
+    )
+
+    rng = np.random.default_rng(0)
+    poses, pts, obs_cam, obs_point, obs_uv, K = make_problem(rng)
+    fixed = np.zeros(len(poses), bool)
+    fixed[0] = fixed[1] = True
+    n_dev = len(jax.devices())
+    results = {}
+    t1 = None
+    for n in [x for x in (1, 2, 4, 8) if x <= n_dev]:
+        mesh = Mesh(np.array(jax.devices()[:n]), ("d",))
+        prob = partition_ba_problem(
+            poses, pts, obs_cam, obs_point, obs_uv,
+            np.ones(len(obs_cam), np.float32), fixed, K, n_shards=n,
+        )
+        out = dist_bundle_adjustment(prob, mesh, iterations=10)
+        jax.block_until_ready(out)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = dist_bundle_adjustment(prob, mesh, iterations=10)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        if t1 is None:
+            t1 = best
+        # analytic per-iteration psum payload vs local compute
+        n_cams = len(poses)
+        psum_bytes = (n_cams * n_cams * 36 + n_cams * 36 + n_cams * 6 + 2) * 4
+        local_obs = len(obs_cam) / n
+        local_flops = local_obs * 2500  # jac+blocks+outer products per obs
+        results[n] = {
+            "time_s": round(best, 4),
+            "wallclock_ratio_vs_1shard": round(t1 / best, 3),
+            "psum_bytes_per_iter": int(psum_bytes),
+            "local_obs_per_shard": int(local_obs),
+        }
+        print(json.dumps({"shards": n, **results[n]}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--log", default=None, help="per-frame JSONL log path")
     args = ap.parse_args()
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from orbslam_in_practice_tpu.config import SlamConfig, load_config
     from orbslam_in_practice_tpu.io.evaluation import ate_rmse
     from orbslam_in_practice_tpu.system import SlamSystem
