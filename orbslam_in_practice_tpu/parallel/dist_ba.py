@@ -254,3 +254,50 @@ def dist_bundle_adjustment(
         ),
     )
     return step(sharded)
+
+
+def distributed_global_ba(
+    smap,
+    K: np.ndarray,
+    inv_level_sigma2: np.ndarray,
+    mesh: Mesh,
+    iterations: int = 10,
+    fixed_kfs=(0, 1),
+):
+    """Distributed full-map BA straight from a SlamMap (BASELINE.json
+    config 5: sharded keyframe map, distributed global BA).
+
+    Pulls the observation table off the map, partitions landmarks over the
+    mesh, runs the psum-reduced LM loop, writes the refined poses/landmarks
+    back. Returns (n_cams, n_points, n_obs).
+    """
+    n_kf = smap.n_kf
+    valid_kf = np.asarray(smap.kf_valid[:n_kf])
+    cams = [int(k) for k in range(n_kf) if valid_kf[k]]
+    if len(cams) < 2:
+        return 0, 0, 0
+    lm_ids = np.nonzero(np.asarray(smap.lm_valid))[0]
+    if len(lm_ids) == 0:
+        return 0, 0, 0
+    kf_idx, feat_idx, which = smap.observations_of(lm_ids)
+    keep = np.isin(kf_idx, cams)
+    kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
+    cam_slot = {k: i for i, k in enumerate(cams)}
+    obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
+    obs_uv = np.asarray(smap.kf_xy)[kf_idx, feat_idx].astype(np.float32)
+    obs_oct = np.asarray(smap.kf_octave)[kf_idx, feat_idx]
+    inv_s2 = inv_level_sigma2[
+        np.clip(obs_oct, 0, len(inv_level_sigma2) - 1)
+    ].astype(np.float32)
+    poses = np.asarray(smap.kf_pose)[cams]
+    points = np.asarray(smap.lm_pos)[lm_ids]
+    fixed = np.array([k in fixed_kfs for k in cams])
+    n_shards = int(np.prod(mesh.devices.shape))
+    prob = partition_ba_problem(
+        poses, points, obs_cam, which.astype(np.int32), obs_uv,
+        inv_s2, fixed, K, n_shards=n_shards,
+    )
+    poses_new, points_new = dist_bundle_adjustment(prob, mesh, iterations=iterations)
+    smap.set_kf_poses(cams, np.asarray(poses_new))
+    smap.set_landmark_positions(lm_ids, np.asarray(points_new)[: len(lm_ids)])
+    return len(cams), len(lm_ids), len(obs_cam)

@@ -89,3 +89,68 @@ def test_partitioner_preserves_problem(rng, mesh):
     # already at optimum: distributed BA must not move it
     poses_est, pts_est = dist_bundle_adjustment(prob, mesh, iterations=3)
     assert np.allclose(np.asarray(poses_est), poses_true, atol=1e-4)
+
+
+def test_distributed_global_ba_on_map(rng, mesh):
+    """Map-level distributed BA: perturb a consistent synthetic map, run the
+    sharded global BA, verify it converges back (BASELINE.json config 5)."""
+    import jax.numpy as jnp
+
+    from orbslam_in_practice_tpu.parallel.dist_ba import distributed_global_ba
+    from orbslam_in_practice_tpu.slam.map import SlamMap
+
+    n_kf, n_lm, n_feat = 6, 200, 256
+    smap = SlamMap(k_max=8, l_max=512, f_max=n_feat)
+    pts = np.stack(
+        [rng.uniform(-4, 4, n_lm), rng.uniform(-3, 3, n_lm), rng.uniform(5, 12, n_lm)],
+        axis=-1,
+    ).astype(np.float32)
+    poses_true = []
+    for c in range(n_kf):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = np.array([0.25 * c, 0.0, 0.0])
+        poses_true.append(T)
+
+    class F:
+        n_features = n_feat
+
+        def __init__(self, xy, valid, obs):
+            self.xy = jnp.asarray(xy)
+            self.octave = jnp.zeros(n_feat, jnp.int32)
+            self.angle = jnp.zeros(n_feat, jnp.float32)
+            self.response = jnp.zeros(n_feat, jnp.float32)
+            self.valid = jnp.asarray(valid)
+            self.desc_pm1 = jnp.zeros((n_feat, 256), jnp.int8)
+
+    smap.allocate_landmarks(n_lm)
+    smap.lm_pos = smap.lm_pos.at[:n_lm].set(jnp.asarray(pts))
+    smap.lm_valid = smap.lm_valid.at[:n_lm].set(True)
+    for c in range(n_kf):
+        T = poses_true[c]
+        pc = pts @ T[:3, :3].T + T[:3, 3]
+        uv = (pc[:, :2] / pc[:, 2:3]) * 500.0 + np.array([320.0, 240.0])
+        xy = np.zeros((n_feat, 2), np.float32)
+        valid = np.zeros(n_feat, bool)
+        obs = np.full(n_feat, -1, np.int32)
+        xy[:n_lm] = uv
+        valid[:n_lm] = True
+        obs[:n_lm] = np.arange(n_lm)
+        smap.add_keyframe(F(xy, valid, obs), jnp.asarray(T), obs, c)
+
+    # perturb everything except the gauge
+    for c in range(2, n_kf):
+        T = np.asarray(smap.kf_pose[c]).copy()
+        T[:3, 3] += rng.normal(size=3).astype(np.float32) * 0.05
+        smap.set_kf_poses([c], [T])
+    smap.set_landmark_positions(
+        np.arange(n_lm), pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    )
+
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]], np.float32)
+    nc, nl, no = distributed_global_ba(
+        smap, K, np.ones(1, np.float32), mesh, iterations=15
+    )
+    assert (nc, nl) == (n_kf, n_lm)
+    for c in range(n_kf):
+        assert np.allclose(np.asarray(smap.kf_pose[c]), poses_true[c], atol=5e-3), c
+    assert np.allclose(np.asarray(smap.lm_pos[:n_lm]), pts, atol=3e-2)
