@@ -271,7 +271,11 @@ class LocalMapper:
             if len(new_feats) == 0:
                 continue
             ids = smap.allocate_landmarks(len(new_feats))
-            desc = smap.kf_desc_pm1[kf_id][jnp.asarray(new_feats)]
+            if len(ids) < len(new_feats):  # capacity: keep only what fits
+                new_feats = new_feats[: len(ids)]
+                if len(ids) == 0:
+                    continue
+            desc = smap.kf_desc_pm1[jnp.asarray(kf_id)][jnp.asarray(new_feats)]
             # provisional invariants; refreshed below
             smap.add_landmarks(
                 ids,

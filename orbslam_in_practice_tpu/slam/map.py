@@ -131,9 +131,14 @@ class SlamMap:
 
     # ---------------- landmarks ----------------
 
+    def landmark_capacity(self) -> int:
+        return self.l_max - self.n_lm
+
     def allocate_landmarks(self, n: int) -> np.ndarray:
-        if self.n_lm + n > self.l_max:
-            raise RuntimeError("landmark table full (l_max)")
+        """Allocate up to n slots; silently truncates at capacity (long
+        sequences degrade gracefully instead of crashing — callers size
+        their work by the returned ids)."""
+        n = min(n, self.landmark_capacity())
         ids = np.arange(self.n_lm, self.n_lm + n, dtype=np.int32)
         self.n_lm += n
         return ids

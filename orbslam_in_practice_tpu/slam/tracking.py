@@ -192,6 +192,8 @@ class Tracking:
         feat1 = np.nonzero(good)[0]
         feat2 = m_h[feat1]
         ids = self.map.allocate_landmarks(len(feat1))
+        feat1 = feat1[: len(ids)]
+        feat2 = feat2[: len(ids)]
 
         obs1 = np.full(f1.n_features, -1, np.int32)
         obs1[feat1] = ids
