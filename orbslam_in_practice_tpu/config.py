@@ -14,7 +14,7 @@ RGB flag to bool (:34-38).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from orbslam_in_practice_tpu.geometry.camera import CameraIntrinsics
 

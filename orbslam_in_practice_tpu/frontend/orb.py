@@ -12,7 +12,6 @@ Python level loop unrolls at trace time.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

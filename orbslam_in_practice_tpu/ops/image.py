@@ -9,7 +9,6 @@ and stream HBM once).
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 import jax

@@ -19,7 +19,6 @@ TPU-native replacements for the reference's hot loops
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from orbslam_in_practice_tpu.geometry import se3
-from orbslam_in_practice_tpu.optim.ba import BAProblem, build_point_obs, bundle_adjustment
+from orbslam_in_practice_tpu.optim.ba import bundle_adjustment
 from orbslam_in_practice_tpu.parallel.dist_ba import (
     dist_bundle_adjustment,
     partition_ba_problem,

@@ -6,7 +6,6 @@ the degenerate two-view-init case where real ORB-SLAM also waits for
 parallax (verified: our initializer rejects it for the same reason —
 low-parallax triangulations fail the 4-sigma^2 reprojection gate)."""
 
-import numpy as np
 import pytest
 
 from orbslam_in_practice_tpu.config import SlamConfig

@@ -3,7 +3,6 @@ on synthetic imagery (SURVEY.md §4: unit goldens + component integration)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from orbslam_in_practice_tpu.frontend.matcher import search_for_initialization
 from orbslam_in_practice_tpu.frontend.orb import ORBExtractor

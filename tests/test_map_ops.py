@@ -3,7 +3,6 @@
 import jax.numpy as jnp
 import numpy as np
 
-from orbslam_in_practice_tpu.config import SlamConfig
 from orbslam_in_practice_tpu.slam.map import SlamMap
 
 
