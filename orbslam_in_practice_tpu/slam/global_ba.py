@@ -90,7 +90,5 @@ def global_bundle_adjustment(
     chi2_h = np.asarray(chi2)[: len(obs_cam)]
     bad = chi2_h > 5.991
     if bad.any():
-        smap.kf_obs = smap.kf_obs.at[
-            jnp.asarray(kf_idx[bad]), jnp.asarray(feat_idx[bad])
-        ].set(-1)
+        smap.scrub_observations(kf_idx[bad], feat_idx[bad])
     return len(cams), len(lm_ids), len(obs_cam)

@@ -378,11 +378,7 @@ class LocalMapper:
         chi2_h = np.asarray(chi2)[: len(obs_cam)]
         bad = chi2_h > 5.991
         if bad.any():
-            bad_kf = kf_idx[bad]
-            bad_feat = feat_idx[bad]
-            smap.kf_obs = smap.kf_obs.at[
-                jnp.asarray(bad_kf), jnp.asarray(bad_feat)
-            ].set(-1)
+            smap.scrub_observations(kf_idx[bad], feat_idx[bad])
 
     # ---------- fusion ----------
 

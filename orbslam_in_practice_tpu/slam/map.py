@@ -84,6 +84,7 @@ class SlamMap:
         self.lm_obs_count = np.zeros(l_max, np.int32)
         self.lm_found_count = np.zeros(l_max, np.int32)  # visible->matched ratio
         self.lm_visible_count = np.zeros(l_max, np.int32)
+        self._covis_cache = None  # invalidated on any observation change
 
     # ---------------- keyframes ----------------
 
@@ -124,6 +125,7 @@ class SlamMap:
         np.add.at(self.lm_obs_count, seen, 1)
         self.n_kf += 1
         self.next_kf_id += 1
+        self._covis_cache = None
         return k
 
     def set_kf_poses(self, kf_ids, poses):
@@ -181,6 +183,7 @@ class SlamMap:
         is_bad = jnp.zeros(self.l_max, bool).at[ids_j].set(True)
         obs_bad = (self.kf_obs >= 0) & is_bad[jnp.maximum(self.kf_obs, 0)]
         self.kf_obs = jnp.where(obs_bad, -1, self.kf_obs)
+        self._covis_cache = None
 
     def add_observations(self, kf_id: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind landmark ids to keyframe features (MapPoint::AddObservation +
@@ -191,13 +194,17 @@ class SlamMap:
             jnp.asarray(lm_ids, jnp.int32)
         )
         np.add.at(self.lm_obs_count, np.asarray(lm_ids), 1)
+        self._covis_cache = None
 
     # ---------------- queries ----------------
 
     def covisibility(self) -> np.ndarray:
-        """(n_kf, n_kf) shared-landmark counts (host array)."""
-        counts = _covis_matrix(self.kf_obs, self.kf_valid, self.l_max)
-        return np.asarray(counts)[: self.n_kf, : self.n_kf]
+        """(n_kf, n_kf) shared-landmark counts (host array, cached until
+        the observation structure changes)."""
+        if self._covis_cache is None:
+            counts = _covis_matrix(self.kf_obs, self.kf_valid, self.l_max)
+            self._covis_cache = np.asarray(counts)
+        return self._covis_cache[: self.n_kf, : self.n_kf]
 
     def keyframe_landmarks(self, kf_id: int) -> np.ndarray:
         """Landmark ids observed by a keyframe (host, deduped, valid only)."""
@@ -233,6 +240,7 @@ class SlamMap:
         self.kf_valid = self.kf_valid.at[kf_id].set(False)
         self.kf_obs = self.kf_obs.at[kf_id].set(-1)
         self.kf_feat_valid = self.kf_feat_valid.at[kf_id].set(False)
+        self._covis_cache = None
 
     def replace_landmark(self, loser: int, winner: int):
         """MapPoint::Replace semantics: merge duplicate landmarks after
@@ -260,6 +268,20 @@ class SlamMap:
             ].set(-1)
         self.lm_valid = self.lm_valid.at[loser].set(False)
         self.lm_obs_count[loser] = 0
+        self._covis_cache = None
+
+    def scrub_observations(self, kf_idx, feat_idx):
+        """Remove specific (keyframe, feature) observations (BA outlier
+        scrubbing); keeps the covisibility cache coherent."""
+        if len(kf_idx) == 0:
+            return
+        obs = np.asarray(self.kf_obs[jnp.asarray(kf_idx), jnp.asarray(feat_idx)])
+        seen = obs[obs >= 0]
+        np.subtract.at(self.lm_obs_count, seen, 1)
+        self.kf_obs = self.kf_obs.at[
+            jnp.asarray(kf_idx), jnp.asarray(feat_idx)
+        ].set(-1)
+        self._covis_cache = None
 
     def pseudo_frame(self, kf_id: int):
         """View a stored keyframe as a Frame (for projection-based matching
