@@ -91,7 +91,10 @@ class Tracking:
         self._init_frame = None
         self._init_frame_id = -1
         self._prev_matched = None
-        # trajectory log: (frame_id, timestamp, Tcw or None)
+        # trajectory log: (frame_id, timestamp, Tcw or None, ref_kf,
+        # T_rel = Tcw_frame @ inv(Tcw_refkf at track time)) — relative
+        # anchoring lets later BA / loop closures retroactively refine the
+        # whole trajectory (ORB-SLAM's SaveTrajectoryTUM semantics)
         self.trajectory: list = []
         self.n_inliers = 0
         self.new_kf_ids: list = []
@@ -137,9 +140,17 @@ class Tracking:
             ok = self._relocalize(frame)
             pose = self.last_pose if ok else None
 
-        self.trajectory.append(
-            (self.frame_id, timestamp, None if pose is None else np.asarray(pose))
-        )
+        if pose is None:
+            self.trajectory.append((self.frame_id, timestamp, None, -1, None))
+        else:
+            pose_np = np.asarray(pose)
+            ref = self.ref_kf
+            if ref >= 0:
+                T_ref = np.asarray(self.map.kf_pose[ref])
+                T_rel = pose_np @ np.linalg.inv(T_ref)
+            else:
+                T_rel = None
+            self.trajectory.append((self.frame_id, timestamp, pose_np, ref, T_rel))
         return None if pose is None else np.asarray(pose)
 
     # ------------------------------------------------------------------
@@ -494,6 +505,24 @@ class Tracking:
         self.last_reloc_frame_id = self.frame_id
         self.state = TrackingState.OK
         return True
+
+
+def materialize_trajectory(tracker) -> list:
+    """[(frame_id, ts, Tcw or None), ...] with poses re-anchored to the
+    CURRENT keyframe poses, so global BA / loop closures refine the full
+    trajectory retroactively."""
+    out = []
+    kf_valid = np.asarray(tracker.map.kf_valid)
+    kf_pose = np.asarray(tracker.map.kf_pose)
+    for entry in tracker.trajectory:
+        frame_id, ts, pose, ref, T_rel = entry
+        if pose is None:
+            out.append((frame_id, ts, None))
+        elif ref >= 0 and T_rel is not None and kf_valid[ref]:
+            out.append((frame_id, ts, T_rel @ kf_pose[ref]))
+        else:
+            out.append((frame_id, ts, pose))
+    return out
 
 
 def _pad_ids(ids: np.ndarray, n: int) -> np.ndarray:

@@ -60,8 +60,11 @@ class SlamSystem:
     # ---------------- trajectory / persistence ----------------
 
     def get_trajectory(self):
-        """[(frame_id, timestamp, Tcw 4x4 np or None), ...]."""
-        return list(self.tracker.trajectory)
+        """[(frame_id, timestamp, Tcw 4x4 np or None), ...], re-anchored to
+        the current (possibly BA/loop-refined) keyframe poses."""
+        from orbslam_in_practice_tpu.slam.tracking import materialize_trajectory
+
+        return materialize_trajectory(self.tracker)
 
     def save_trajectory_tum(self, path: str):
         from orbslam_in_practice_tpu.io.trajectory import save_tum
