@@ -171,19 +171,29 @@ class LocalMapper:
         obs_desc = np.zeros((L, O_MAX, 256), np.int8)
         obs_oct = np.zeros((L, O_MAX), np.int32)
         obs_val = np.zeros((L, O_MAX), bool)
-        fill = np.zeros(L, np.int32)
         kf_pose_h = np.asarray(smap.kf_pose)
         desc_h = np.asarray(smap.kf_desc_pm1)
         oct_h = np.asarray(smap.kf_octave)
-        for k, f, l in zip(kf_idx, feat_idx, which):
-            c = fill[l]
-            if c < O_MAX:
-                obs_pose[l, c] = kf_pose_h[k]
-                obs_desc[l, c] = desc_h[k, f]
-                obs_oct[l, c] = oct_h[k, f]
-                obs_val[l, c] = True
-                fill[l] = c + 1
-        has_obs = fill > 0
+        # vectorized grouping: slot = rank of each observation within its
+        # landmark group (stable sort keeps observation order)
+        if len(which):
+            order = np.argsort(which, kind="stable")
+            sw = which[order]
+            group_start = np.zeros(len(sw), np.int64)
+            new_grp = np.nonzero(np.r_[True, sw[1:] != sw[:-1]])[0]
+            group_start[new_grp] = np.arange(len(sw))[new_grp]
+            group_start = np.maximum.accumulate(group_start)
+            slot = np.arange(len(sw)) - group_start
+            keep = slot < O_MAX
+            li = sw[keep]
+            sl = slot[keep]
+            ko = kf_idx[order][keep]
+            fo = feat_idx[order][keep]
+            obs_pose[li, sl] = kf_pose_h[ko]
+            obs_desc[li, sl] = desc_h[ko, fo]
+            obs_oct[li, sl] = oct_h[ko, fo]
+            obs_val[li, sl] = True
+        has_obs = obs_val.any(axis=1)
         normal, min_d, max_d, desc, oct_ref = _landmark_invariants(
             smap.lm_pos[jnp.asarray(lm_ids)],
             jnp.asarray(obs_pose),
