@@ -176,6 +176,13 @@ class Tracking:
         if n_matches < 100:  # ref :190-196
             self._init_frame = None
             return
+        # follow matched features: search centers for the next attempt track
+        # the current positions (ORB-SLAM's vbPrevMatched update)
+        prev = np.array(np.asarray(self._prev_matched))
+        frame_xy = np.asarray(frame.xy)
+        sel = m_h >= 0
+        prev[sel] = frame_xy[m_h[sel]]
+        self._prev_matched = jnp.asarray(prev)
 
         p1 = self._init_frame.xy
         p2 = frame.xy[jnp.maximum(matches, 0)]
