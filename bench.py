@@ -10,7 +10,8 @@ at 640x480 with a 512-feature budget and a 1024-landmark local map.
 Baseline: the reference publishes no numbers and cannot run (BASELINE.md);
 per BASELINE.json config 1 the baseline is our own CPU-runnable
 implementation of the same pipeline — measured on this container's CPU at
-12.09 frames/s (chained, dispatch-amortized). vs_baseline = value / 12.09.
+2.93 frames/s (chained, dispatch-amortized, per-iteration-varying images).
+vs_baseline = value / 2.93.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_FPS = 12.09  # measured: the same chained step on host CPU (this container)
+CPU_BASELINE_FPS = 2.93  # measured: the same chained step on host CPU (this container)
 
 
 def main():
@@ -41,30 +42,35 @@ def main():
     # Chip throughput: chain REPS tracking steps inside ONE program (pose
     # feeds forward) so per-call dispatch overhead — large through this
     # container's shared TPU relay — amortizes away and the number reflects
-    # on-device time. Inputs vary per call; best of several trial blocks.
+    # on-device time. Each iteration reads a DIFFERENT image (indexed from a
+    # stacked batch inside the loop) so no stage is loop-invariant: XLA's
+    # LICM cannot hoist the ORB extraction out of the timed loop, and the
+    # number reflects the FULL per-frame step. Best of several trial blocks.
     REPS = 10
 
-    def chained(img, T0):
+    def chained(imgs, T0):
         def body(i, T):
+            img = lax.dynamic_index_in_dim(imgs, i, axis=0, keepdims=False)
             T_new, _ = fn(img, lm_pos, lm_desc, lm_oct, T)
             return T_new
         return lax.fori_loop(0, REPS, body, T0)
 
     step = jax.jit(chained)
-    jax.block_until_ready(step(image, Tcw))  # compile
 
     rng = np.random.default_rng(1)
-    images = [
+    base = np.asarray(image)
+    batches = [
         jnp.asarray(
-            np.asarray(image) + rng.uniform(0, 1, image.shape).astype(np.float32)
+            base[None] + rng.uniform(0, 1, (REPS,) + base.shape).astype(np.float32)
         )
         for _ in range(4)
     ]
+    jax.block_until_ready(step(batches[0], Tcw))  # compile
     best_fps = 0.0
     for _ in range(5):
         n_calls = 8
         t0 = time.perf_counter()
-        outs = [step(images[i % 4], Tcw) for i in range(n_calls)]
+        outs = [step(batches[i % 4], Tcw) for i in range(n_calls)]
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, n_calls * REPS / dt)
