@@ -10,8 +10,8 @@ at 640x480 with a 512-feature budget and a 1024-landmark local map.
 Baseline: the reference publishes no numbers and cannot run (BASELINE.md);
 per BASELINE.json config 1 the baseline is our own CPU-runnable
 implementation of the same pipeline — measured on this container's CPU at
-2.93 frames/s (chained, dispatch-amortized, per-iteration-varying images).
-vs_baseline = value / 2.93.
+4.58 frames/s (chained, dispatch-amortized, per-iteration-varying images).
+vs_baseline = value / 4.58.
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_FPS = 2.93  # measured: the same chained step on host CPU (this container)
+CPU_BASELINE_FPS = 4.58  # measured: the same chained step on host CPU (this container)
 
 
 def main():

@@ -23,6 +23,15 @@ reference ORB-SLAM practice codebase (Sunny-cpp/orbslam_In_practice):
 
 __version__ = "0.1.0"
 
+# Geometry demands true float32: the TPU MXU's default matmul precision
+# rounds inputs to bfloat16 (~0.3% relative), which floors BA/pose accuracy
+# and flips borderline BRIEF comparison bits. The engine's throughput-
+# critical matmuls are int8 (Hamming) or carry explicit per-call precision
+# (Pallas kernels), so full-precision float matmuls cost nothing measurable.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def __getattr__(name):
     # Lazy to keep `import orbslam_in_practice_tpu` cheap (no jax trace work).

@@ -21,7 +21,8 @@ from orbslam_in_practice_tpu.frontend.frame import Frame
 from orbslam_in_practice_tpu.geometry.camera import CameraIntrinsics, undistort_points
 from orbslam_in_practice_tpu.ops.fast import fast_score, nms3x3
 from orbslam_in_practice_tpu.ops.pallas_fast import fast_score_nms
-from orbslam_in_practice_tpu.ops.hamming import unpack_to_pm1
+from orbslam_in_practice_tpu.ops.pallas_patch import orb_patch_features
+from orbslam_in_practice_tpu.ops.hamming import pack_bits, unpack_to_pm1
 from orbslam_in_practice_tpu.ops.image import build_pyramid, gaussian_blur7
 from orbslam_in_practice_tpu.ops.orb import (
     brief_descriptors,
@@ -88,9 +89,14 @@ class ORBExtractor:
             yx, resp, valid = select_keypoints(
                 score, budget, self.ini_th, self.min_th
             )
-            ang = ic_angle(img_l, yx)
-            blur = gaussian_blur7(img_l)
-            desc = brief_descriptors(blur, yx, ang)
+            if self.use_pallas:
+                # fused patch kernel: angle + in-patch blur + BRIEF in one pass
+                ang, bits = orb_patch_features(img_l, yx, interpret=False)
+                desc = pack_bits(bits)
+            else:
+                ang = ic_angle(img_l, yx)
+                blur = gaussian_blur7(img_l)
+                desc = brief_descriptors(blur, yx, ang)
             s = self.scale_factor**lvl
             xy_raw = jnp.stack([yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)], -1) * s
             xs.append(xy_raw)

@@ -47,19 +47,21 @@ def fast_score(img: jnp.ndarray) -> jnp.ndarray:
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for (dx, dy) in _CIRCLE],
         axis=0,
     )  # (16, H, W)
-    bright = neigh - img[None]  # margin for "brighter" arc
-    dark = -bright  # margin for "darker" arc
+    m = neigh - img[None]  # margin for "brighter" arc; "darker" is -m
 
-    def arc_score(margin):
-        # min over each contiguous window of 9 (circular), then max over the
-        # 16 window start positions.
-        m = margin
-        acc = m
-        for k in range(1, _ARC):
-            acc = jnp.minimum(acc, jnp.roll(m, -k, axis=0))
-        return jnp.max(acc, axis=0)
+    # circular window-min of length 9 via a doubling tree (4 combines
+    # instead of 8): min9(k) = min(min8(k), m(k+8)); min over the darker
+    # polarity = -max over the same windows, so one tree per op serves
+    # both polarities.
+    def win9(x, op):
+        x2 = op(x, jnp.roll(x, -1, axis=0))
+        x4 = op(x2, jnp.roll(x2, -2, axis=0))
+        x8 = op(x4, jnp.roll(x4, -4, axis=0))
+        return op(x8, jnp.roll(x, -8, axis=0))
 
-    score = jnp.maximum(arc_score(bright), arc_score(dark))
+    bright = jnp.max(win9(m, jnp.minimum), axis=0)
+    dark = -jnp.min(win9(m, jnp.maximum), axis=0)
+    score = jnp.maximum(bright, dark)
     score = jnp.maximum(score, 0.0)
     # zero the 3px border
     ys = jnp.arange(h)[:, None]

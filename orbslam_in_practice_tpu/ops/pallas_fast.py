@@ -48,17 +48,25 @@ def _kernel(h_img, w_img, img_hbm, out_ref, scratch, sem):
         neigh = scratch[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w]
         margins.append(neigh - center)
 
-    def arc_score(ms):
-        best = None
-        for k in range(16):
-            acc = ms[k]
-            for j in range(1, _ARC):
-                acc = jnp.minimum(acc, ms[(k + j) % 16])
-            best = acc if best is None else jnp.maximum(best, acc)
-        return best
+    # circular window-min of length 9 via a doubling tree (64 combines
+    # instead of 256 for both polarities): min9(k) = min(min8(k), m(k+8));
+    # the darker polarity's window-min is -window-max of the same margins.
+    def win9(ms, op):
+        x2 = [op(ms[k], ms[(k + 1) % 16]) for k in range(16)]
+        x4 = [op(x2[k], x2[(k + 2) % 16]) for k in range(16)]
+        x8 = [op(x4[k], x4[(k + 4) % 16]) for k in range(16)]
+        return [op(x8[k], ms[(k + 8) % 16]) for k in range(16)]
 
-    bright = arc_score(margins)
-    dark = arc_score([-m for m in margins])
+    def fold_max(xs):
+        while len(xs) > 1:
+            xs = [jnp.maximum(xs[i], xs[i + 1]) for i in range(0, len(xs) - 1, 2)] + (
+                [xs[-1]] if len(xs) % 2 else []
+            )
+        return xs[0]
+
+    bright = fold_max(win9(margins, jnp.minimum))
+    # dark score = max_k min_{j∈win k}(-m_j) = max_k(-winmax_k) = -min_k winmax_k
+    dark = fold_max([-w_ for w_ in win9(margins, jnp.maximum)])
     score = jnp.maximum(jnp.maximum(bright, dark), 0.0)
 
     # zero scores outside the valid 3px-interior of the ORIGINAL image so

@@ -118,8 +118,11 @@ def pose_optimization(
             sw = jnp.sqrt(w)[:, None]
             A = (J * sw[..., None]).reshape(-1, 6)
             b = (r * sw).reshape(-1)
-            H = A.T @ A
-            g = -(b @ A)
+            # HIGHEST: the TPU MXU default rounds inputs to bf16 (~0.3%
+            # relative), which floors the achievable pose accuracy; these
+            # products are tiny (2Nx6), so full f32 costs nothing
+            H = jnp.matmul(A.T, A, precision=lax.Precision.HIGHEST)
+            g = -jnp.matmul(b, A, precision=lax.Precision.HIGHEST)
             H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
             delta = jnp.linalg.solve(H_damped, g)
             Tcw_new = exp_se3(delta) @ Tcw

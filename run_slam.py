@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--traj-out", default="trajectory_tum.txt")
     ap.add_argument("--map-out", default=None, help="save map checkpoint (.npz)")
     ap.add_argument("--log", default=None, help="per-frame JSONL log path")
+    ap.add_argument("--viz", default=None, help="render map+trajectory PNG here")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +103,23 @@ def main():
     system.save_trajectory_tum(args.traj_out)
     if args.map_out:
         system.save_map(args.map_out)
+    if args.viz:
+        import numpy as np
+
+        from orbslam_in_practice_tpu.utils.viewer import render_map
+
+        centers = [
+            -(T[:3, :3].T @ T[:3, 3])
+            for _, _, T in system.get_trajectory()
+            if T is not None
+        ]
+        render_map(
+            system.map,
+            args.viz,
+            trajectory=np.asarray(centers) if centers else None,
+            title=f"{n_done} frames, {stats['n_lm']} landmarks",
+        )
+        out["viz"] = args.viz
     print(json.dumps(out, indent=2, default=str))
 
 

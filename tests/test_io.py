@@ -139,3 +139,36 @@ def test_ate_rmse_known_alignment(rng):
     rmse, n, cov = ate_rmse(traj, gt)
     assert n == 30 and cov == 1.0
     assert rmse < 1e-3
+
+
+def test_viewer_renders_map_and_frame(tmp_path, rng):
+    """Offline viewer (MapDrawer/FrameDrawer role — absent in the reference)."""
+    import jax.numpy as jnp
+
+    from orbslam_in_practice_tpu.frontend.orb import ORBExtractor
+    from orbslam_in_practice_tpu.slam.map import SlamMap
+    from orbslam_in_practice_tpu.utils.viewer import render_frame, render_map
+
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    ext = ORBExtractor(64, 1.2, 2, 20.0, 7.0)
+    frame = ext(img)
+
+    m = SlamMap(k_max=4, l_max=64, f_max=ext.total)
+    obs = np.full(ext.total, -1, np.int32)
+    m.add_keyframe(frame, jnp.eye(4), obs, frame_id=0)
+    ids = m.allocate_landmarks(8)
+    m.add_landmarks(
+        ids,
+        jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32) + np.array([0, 0, 5.0], np.float32)),
+        jnp.zeros((8, 256), jnp.int8),
+        jnp.zeros((8, 3), jnp.float32),
+        jnp.zeros(8, jnp.int32),
+        jnp.full(8, 0.1, jnp.float32),
+        jnp.full(8, 10.0, jnp.float32),
+        first_kf=0,
+    )
+    p1 = render_map(m, str(tmp_path / "map.png"), trajectory=np.zeros((3, 3)))
+    p2 = render_frame(img, frame, str(tmp_path / "frame.png"))
+    import os
+
+    assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000

@@ -1,8 +1,9 @@
 """Per-stage on-device timing of the flagship tracking step.
 
-Chains each stage REPS times inside one jitted program (inputs perturbed per
-iteration so XLA can't CSE the loop away) — same methodology as bench.py, so
-numbers are comparable. Run on TPU to find the next kernel to optimize.
+Methodology matches bench.py: chain REPS iterations inside one jitted
+program, each iteration indexing a DIFFERENT input from a stacked batch
+(prevents XLA LICM/algebraic shortcuts). Run on TPU to find the next kernel
+to optimize.
 """
 
 from __future__ import annotations
@@ -35,23 +36,22 @@ REPS = 20
 
 def timed(name, fn, *args):
     jitted = jax.jit(fn)
-    out = jax.block_until_ready(jitted(*args))
+    jax.block_until_ready(jitted(*args))
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()
         jax.block_until_ready(jitted(*args))
         best = min(best, (time.perf_counter() - t0) / REPS)
     print(f"{name:38s} {best*1e3:8.3f} ms/step")
-    return out
 
 
 def chain(stage):
-    """stage: (carry_img,) -> array; chained with +i perturbation."""
+    """stage: (H, W) image -> array; iterates over a stacked (REPS, H, W) batch."""
 
-    def run(img):
+    def run(batch):
         def body(i, acc):
-            r = stage(img + i.astype(jnp.float32) * 1e-3)
-            return acc + jnp.sum(r).astype(jnp.float32)
+            img = lax.dynamic_index_in_dim(batch, i, 0, keepdims=False)
+            return acc + jnp.sum(stage(img)).astype(jnp.float32)
 
         return lax.fori_loop(0, REPS, body, jnp.float32(0))
 
@@ -62,55 +62,42 @@ def main():
     cfg = SlamConfig(n_features=512, n_levels=4, width=640, height=480)
     ext = ORBExtractor(cfg.n_features, cfg.scale_factor, cfg.n_levels, cfg.ini_th_fast, cfg.min_th_fast)
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.uniform(0, 255, (cfg.height, cfg.width)), jnp.float32)
+    batch = jnp.asarray(rng.uniform(0, 255, (REPS, cfg.height, cfg.width)), jnp.float32)
+    image = batch[0]
     print("backend:", jax.default_backend())
 
-    # full extractor
     def full_extract(img):
         f = ext._extract(img)
         return f.xy.sum() + f.desc_packed.astype(jnp.float32).sum()
 
-    timed("extractor (all levels, full)", chain(full_extract), image)
+    timed("extractor (all levels, full)", chain(full_extract), batch)
+    timed("pyramid", chain(lambda im: sum(l.sum() for l in build_pyramid(im, cfg.n_levels, cfg.scale_factor))), batch)
 
-    # pyramid
-    timed("pyramid", chain(lambda im: sum(l.sum() for l in build_pyramid(im, cfg.n_levels, cfg.scale_factor))), image)
-
-    levels = build_pyramid(image, cfg.n_levels, cfg.scale_factor)
     budgets = ext.budgets
-
-    # per-level stage timings on level 0 only (biggest image)
-    img0 = levels[0]
     use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        timed("fast+nms L0 (pallas)", chain(lambda im: fast_score_nms(im)), img0)
-    timed("fast+nms L0 (jnp)", chain(lambda im: nms3x3(fast_score(im))), img0)
-
-    score0 = jax.block_until_ready((fast_score_nms(img0) if use_pallas else nms3x3(fast_score(img0))))
+        timed("fast+nms L0 (pallas)", chain(lambda im: fast_score_nms(im)), batch)
+    timed("fast+nms L0 (jnp)", chain(lambda im: nms3x3(fast_score(im))), batch)
 
     def sel(im):
         sc = fast_score_nms(im) if use_pallas else nms3x3(fast_score(im))
         yx, r, v = select_keypoints(sc, budgets[0], ext.ini_th, ext.min_th)
         return yx.astype(jnp.float32).sum() + r.sum()
 
-    timed("fast+nms+select L0", chain(sel), img0)
+    timed("fast+nms+select L0", chain(sel), batch)
 
+    score0 = fast_score_nms(image) if use_pallas else nms3x3(fast_score(image))
     yx0, _, _ = jax.jit(lambda s: select_keypoints(s, budgets[0], ext.ini_th, ext.min_th))(score0)
     yx0 = jax.block_until_ready(yx0)
+    n_kp = yx0.shape[0]
+    print(f"(L0 budget = {n_kp} keypoints; 512-kp stage numbers scale ~linearly)")
 
-    def ang_stage(im):
-        return ic_angle(im, yx0)
+    timed("ic_angle L0", chain(lambda im: ic_angle(im, yx0)), batch)
+    timed("gaussian_blur7 L0", chain(lambda im: gaussian_blur7(im)), batch)
 
-    timed("ic_angle L0", chain(ang_stage), img0)
-
-    timed("gaussian_blur7 L0", chain(lambda im: gaussian_blur7(im)), img0)
-
-    ang0 = jax.block_until_ready(jax.jit(ang_stage)(img0))
-
-    def brief_stage(im):
-        return brief_descriptors(im, yx0, ang0).astype(jnp.float32)
-
-    timed("brief L0 (on pre-blurred)", chain(brief_stage), img0)
+    ang0 = jax.block_until_ready(jax.jit(lambda im: ic_angle(im, yx0))(image))
+    timed("brief L0 (incl. blur)", chain(lambda im: brief_descriptors(gaussian_blur7(im), yx0, ang0).astype(jnp.float32)), batch)
 
     # matcher + pose opt at bench shapes
     frame = jax.block_until_ready(jax.jit(ext._extract)(image))
@@ -118,23 +105,28 @@ def main():
     K = jnp.asarray(cfg.cam.K)
     scale_factors = jnp.asarray(np.array([cfg.scale_factor**i for i in range(cfg.n_levels)], np.float32))
     inv_sigma2 = jnp.asarray(ext.inv_level_sigma2)
-    lm_pos = jnp.asarray(
-        np.stack([rng.uniform(-3, 3, n_lm), rng.uniform(-2, 2, n_lm), rng.uniform(4, 9, n_lm)], -1), jnp.float32
+    lm_pos_b = jnp.asarray(
+        np.stack([rng.uniform(-3, 3, (REPS, n_lm)), rng.uniform(-2, 2, (REPS, n_lm)), rng.uniform(4, 9, (REPS, n_lm))], -1),
+        jnp.float32,
     )
     lm_desc = jnp.asarray(rng.integers(0, 2, (n_lm, 256)).astype(np.int8) * 2 - 1)
     lm_oct = jnp.zeros(n_lm, jnp.int32)
     Tcw = jnp.eye(4, dtype=jnp.float32)
     lm_valid = jnp.ones(n_lm, bool)
 
-    def match_stage(im):
-        # perturb pose instead of re-extracting
-        m, d, _ = search_by_projection(
-            lm_pos + im[0, 0] * 0, lm_desc, lm_valid, lm_oct, Tcw, frame, K, jnp.asarray(8.0), scale_factors
-        )
-        return m.astype(jnp.float32).sum() + d.sum()
+    def match_chain(lm_batch):
+        def body(i, acc):
+            lm = lax.dynamic_index_in_dim(lm_batch, i, 0, keepdims=False)
+            m, d, _ = search_by_projection(
+                lm, lm_desc, lm_valid, lm_oct, Tcw, frame, K, jnp.asarray(8.0), scale_factors
+            )
+            return acc + jnp.sum(m).astype(jnp.float32)
 
-    timed("search_by_projection", chain(match_stage), image)
+        return lax.fori_loop(0, REPS, body, jnp.float32(0))
 
+    timed("search_by_projection", match_chain, lm_pos_b)
+
+    lm_pos = lm_pos_b[0]
     matches, _, _ = jax.jit(
         lambda: search_by_projection(lm_pos, lm_desc, lm_valid, lm_oct, Tcw, frame, K, jnp.asarray(8.0), scale_factors)
     )()
@@ -143,15 +135,19 @@ def main():
         jnp.where(matches >= 0, jnp.arange(n_lm, dtype=jnp.int32), -1)
     )
     has = obs >= 0
-    Xw = lm_pos[jnp.maximum(obs, 0)]
+    Xw_b = jnp.stack([lm_pos_b[i][jnp.maximum(obs, 0)] for i in range(REPS)])
     inv_s2 = inv_sigma2[jnp.clip(frame.octave, 0, cfg.n_levels - 1)]
-    mask = np.asarray(has & frame.valid)
+    mask = jnp.asarray(np.asarray(has & frame.valid))
 
-    def pose_stage(im):
-        T, inl, n = pose_optimization(Tcw + im[0, 0] * 0, Xw, frame.xy, inv_s2, jnp.asarray(mask), K)
-        return T.sum() + n.astype(jnp.float32)
+    def pose_chain(Xw_batch):
+        def body(i, acc):
+            Xw = lax.dynamic_index_in_dim(Xw_batch, i, 0, keepdims=False)
+            T, inl, n = pose_optimization(Tcw, Xw, frame.xy, inv_s2, mask, K)
+            return acc + T.sum() + n.astype(jnp.float32)
 
-    timed("pose_optimization", chain(pose_stage), image)
+        return lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    timed("pose_optimization", pose_chain, Xw_b)
 
 
 if __name__ == "__main__":
