@@ -35,6 +35,12 @@ CHI2_MONO = 5.991
 HUBER_DELTA = float(jnp.sqrt(CHI2_MONO))
 
 
+# At or below this camera count the Schur system is assembled with dense
+# one-hot matmuls (MXU); above it, with scatter-adds (the dense (L, K, 6, 3)
+# factors would dominate memory for global-scale K).
+DENSE_ASSEMBLY_MAX_CAMS = 64
+
+
 class BAProblem(NamedTuple):
     """Fixed-shape bundle-adjustment problem.
 
@@ -152,13 +158,18 @@ def build_normal_equations(poses, points, prob: BAProblem, use_huber):
         * _robust_weight(chi2, use_huber)
     )  # (O,)
 
-    # Camera diagonal blocks and gradient
-    Hcc = jnp.zeros((n_cam, 6, 6), dtype).at[prob.obs_cam].add(
-        jnp.einsum("oai,o,oaj->oij", Jc, w, Jc)
-    )
-    b_c = jnp.zeros((n_cam, 6), dtype).at[prob.obs_cam].add(
-        -jnp.einsum("oai,o,oa->oi", Jc, w, r)
-    )
+    # Camera diagonal blocks and gradient. For small camera counts the
+    # scatter-add (serialized row updates on TPU) is replaced by a one-hot
+    # matmul reduction — the observation axis rides the MXU instead.
+    Hcc_obs = jnp.einsum("oai,o,oaj->oij", Jc, w, Jc)
+    b_obs = -jnp.einsum("oai,o,oa->oi", Jc, w, r)
+    if n_cam <= DENSE_ASSEMBLY_MAX_CAMS:
+        onehot = (prob.obs_cam[:, None] == jnp.arange(n_cam)).astype(dtype)
+        Hcc = jnp.einsum("ok,oij->kij", onehot, Hcc_obs)
+        b_c = jnp.einsum("ok,oi->ki", onehot, b_obs)
+    else:
+        Hcc = jnp.zeros((n_cam, 6, 6), dtype).at[prob.obs_cam].add(Hcc_obs)
+        b_c = jnp.zeros((n_cam, 6), dtype).at[prob.obs_cam].add(b_obs)
 
     # Landmark blocks (grouped by point): gather per-landmark observations
     po = prob.point_obs  # (L, O_max)
@@ -194,23 +205,35 @@ def schur_solve(Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam):
     # T = W Hpp^-1 per (landmark, obs): (L, O_max, 6, 3)
     T = jnp.einsum("loij,ljk->loik", Wg, Hpp_inv)
 
-    # Schur off-diagonal: S[ci, cj] -= T_i @ W_j^T for obs pairs of each point
-    outer = jnp.einsum("loik,lpjk->lopij", T, Wg)  # (L, O_max, O_max, 6, 6)
-    L_, O_max = cam_g.shape
-    ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
-    cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
-    pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
-    S = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
-    S = S.at[ci.reshape(-1), cj.reshape(-1)].add(
-        (-outer * pair_valid).reshape(-1, 6, 6)
-    )
-    S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(Hcc_d)
-
-    # reduced gradient: b_red = b_c - sum_l T b_p
     contrib = jnp.einsum("loik,lk->loi", T, b_p)  # (L, O_max, 6)
-    b_red = b_c.at[cam_g.reshape(-1)].add(
-        (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
-    )
+    if n_cam <= DENSE_ASSEMBLY_MAX_CAMS:
+        # Dense one-hot assembly: each landmark has at most one observation
+        # per camera, so its Schur contribution factors through per-camera
+        # sums A_l = E_l^T T_l, B_l = E_l^T W_l and the whole off-diagonal
+        # becomes ONE matmul-shaped contraction over (landmark, xyz) — no
+        # (L, O_max, O_max) pair tensor and no serialized scatter rows.
+        E = ((cam_g[..., None] == jnp.arange(n_cam)) & pv[..., None]).astype(dtype)
+        A = jnp.einsum("lok,loij->lkij", E, T)  # (L, K, 6, 3)
+        B = jnp.einsum("lok,loij->lkij", E, Wg)  # (L, K, 6, 3)
+        S = -jnp.einsum("lkiz,lqjz->kqij", A, B)  # (K, K, 6, 6)
+        S = S + jnp.eye(n_cam, dtype=dtype)[:, :, None, None] * Hcc_d[:, None]
+        b_red = b_c - jnp.einsum("lok,loi->ki", E, contrib)
+    else:
+        # Scatter path for large camera counts (distributed/global BA) where
+        # the (L, K, 6, 3) dense factors would not fit in memory.
+        outer = jnp.einsum("loik,lpjk->lopij", T, Wg)  # (L, O_max, O_max, 6, 6)
+        L_, O_max = cam_g.shape
+        ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
+        cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
+        pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
+        S = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
+        S = S.at[ci.reshape(-1), cj.reshape(-1)].add(
+            (-outer * pair_valid).reshape(-1, 6, 6)
+        )
+        S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(Hcc_d)
+        b_red = b_c.at[cam_g.reshape(-1)].add(
+            (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
+        )
 
     # Gauge fixing: zero fixed cameras' rows/cols, identity diagonal.
     free = (~fixed_cam).astype(dtype)
