@@ -32,6 +32,7 @@ from jax import shard_map
 
 from orbslam_in_practice_tpu.geometry.se3 import exp_se3
 from orbslam_in_practice_tpu.optim.ba import (
+    DENSE_ASSEMBLY_MAX_CAMS,
     BAProblem,
     build_normal_equations,
     build_point_obs,
@@ -197,19 +198,29 @@ def _dist_schur(Hcc_global, b_c_global, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam,
 
     Hpp_inv = _inv3x3(Hpp_d)
     T = jnp.einsum("loij,ljk->loik", Wg, Hpp_inv)
-    outer = jnp.einsum("loik,lpjk->lopij", T, Wg)
-    L_, O_max = cam_g.shape
-    ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
-    cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
-    pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
-    S_local = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
-    S_local = S_local.at[ci.reshape(-1), cj.reshape(-1)].add(
-        (-outer * pair_valid).reshape(-1, 6, 6)
-    )
     contrib = jnp.einsum("loik,lk->loi", T, b_p)
-    b_local = jnp.zeros((n_cam, 6), dtype).at[cam_g.reshape(-1)].add(
-        (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
-    )
+    if n_cam <= DENSE_ASSEMBLY_MAX_CAMS:
+        # dense one-hot assembly (see optim.ba.schur_solve): the local
+        # landmark block's Schur contribution as one matmul-shaped
+        # contraction, no serialized scatter rows
+        E = ((cam_g[..., None] == jnp.arange(n_cam)) & pv[..., None]).astype(dtype)
+        A = jnp.einsum("lok,loij->lkij", E, T)
+        B = jnp.einsum("lok,loij->lkij", E, Wg)
+        S_local = -jnp.einsum("lkiz,lqjz->kqij", A, B)
+        b_local = -jnp.einsum("lok,loi->ki", E, contrib)
+    else:
+        outer = jnp.einsum("loik,lpjk->lopij", T, Wg)
+        L_, O_max = cam_g.shape
+        ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
+        cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
+        pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
+        S_local = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
+        S_local = S_local.at[ci.reshape(-1), cj.reshape(-1)].add(
+            (-outer * pair_valid).reshape(-1, 6, 6)
+        )
+        b_local = jnp.zeros((n_cam, 6), dtype).at[cam_g.reshape(-1)].add(
+            (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
+        )
     # one psum for the Schur terms
     S_off = lax.psum(S_local, axis)
     b_off = lax.psum(b_local, axis)
