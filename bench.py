@@ -2,16 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The step is the hot path of the engine (SURVEY.md §3.2): ORB extraction
-(pyramid + FAST + select + orientation + BRIEF) -> projection matching
-(MXU Hamming) -> pose-only BA (4x10 chi2-gated LM), all one jitted program
-at 640x480 with a 512-feature budget and a 1024-landmark local map.
+The step is the REAL fused steady-state tracking step of the system
+(Tracking._build_fused_steady, SURVEY.md §3.2/3.4): ORB extraction
+(pyramid + FAST + select + fused angle/blur/BRIEF patch kernel) ->
+motion-model projection match (in-graph radius retry) -> pose-only BA
+(4x10 chi2-gated LM) -> local-map projection match (landmark invariants)
+-> second pose-only BA -> velocity update; one jitted program at 640x480
+with a 512-feature budget, 1024 live landmarks, 4096-slot local map.
 
 Baseline: the reference publishes no numbers and cannot run (BASELINE.md);
 per BASELINE.json config 1 the baseline is our own CPU-runnable
 implementation of the same pipeline — measured on this container's CPU at
-4.58 frames/s (chained, dispatch-amortized, per-iteration-varying images).
-vs_baseline = value / 4.58.
+2.17 frames/s (chained, dispatch-amortized, per-iteration-varying images).
+vs_baseline = value / 2.17.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_FPS = 4.58  # measured: the same chained step on host CPU (this container)
+CPU_BASELINE_FPS = 2.17  # measured: the same chained step on host CPU (this container)
 
 
 def main():
@@ -37,23 +40,28 @@ def main():
     import jax.numpy as jnp
 
     fn, args = entry()
-    image, lm_pos, lm_desc, lm_oct, Tcw = args
+    (image, mm_ids, mm_n, loc_ids, loc_n, velocity, last_pose, *tables) = args
 
-    # Chip throughput: chain REPS tracking steps inside ONE program (pose
-    # feeds forward) so per-call dispatch overhead — large through this
-    # container's shared TPU relay — amortizes away and the number reflects
-    # on-device time. Each iteration reads a DIFFERENT image (indexed from a
-    # stacked batch inside the loop) so no stage is loop-invariant: XLA's
-    # LICM cannot hoist the ORB extraction out of the timed loop, and the
-    # number reflects the FULL per-frame step. Best of several trial blocks.
+    # Chip throughput: chain REPS tracking steps inside ONE program (pose and
+    # velocity feed forward between steps, exactly like the real system) so
+    # per-call dispatch overhead — large through this container's shared TPU
+    # relay — amortizes away and the number reflects on-device time. Each
+    # iteration reads a DIFFERENT image (indexed from a stacked batch inside
+    # the loop) so no stage is loop-invariant: XLA's LICM cannot hoist the ORB
+    # extraction out of the timed loop, and the number reflects the FULL
+    # per-frame step. Best of several trial blocks.
     REPS = 10
 
-    def chained(imgs, T0):
-        def body(i, T):
+    def chained(imgs, T0, V0):
+        def body(i, carry):
+            T, V = carry
             img = lax.dynamic_index_in_dim(imgs, i, axis=0, keepdims=False)
-            T_new, _ = fn(img, lm_pos, lm_desc, lm_oct, T)
-            return T_new
-        return lax.fori_loop(0, REPS, body, T0)
+            _, Tcw, _, vel, _, _, _ = fn(
+                img, mm_ids, mm_n, loc_ids, loc_n, V, T, *tables
+            )
+            return Tcw, vel
+        T, V = lax.fori_loop(0, REPS, body, (T0, V0))
+        return T, V
 
     step = jax.jit(chained)
 
@@ -65,12 +73,12 @@ def main():
         )
         for _ in range(4)
     ]
-    jax.block_until_ready(step(batches[0], Tcw))  # compile
+    jax.block_until_ready(step(batches[0], last_pose, velocity))  # compile
     best_fps = 0.0
     for _ in range(5):
         n_calls = 8
         t0 = time.perf_counter()
-        outs = [step(batches[i % 4], Tcw) for i in range(n_calls)]
+        outs = [step(batches[i % 4], last_pose, velocity) for i in range(n_calls)]
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, n_calls * REPS / dt)

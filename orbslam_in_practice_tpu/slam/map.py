@@ -85,6 +85,24 @@ class SlamMap:
         self.lm_found_count = np.zeros(l_max, np.int32)  # visible->matched ratio
         self.lm_visible_count = np.zeros(l_max, np.int32)
         self._covis_cache = None  # invalidated on any observation change
+        self._host_cache = {}  # host mirrors of device tables, same lifetime
+
+    def _invalidate_caches(self):
+        self._covis_cache = None
+        self._host_cache.clear()
+
+    def kf_obs_host(self) -> np.ndarray:
+        """Host mirror of kf_obs — ONE device->host transfer per map
+        mutation epoch instead of one per query (the per-frame local-map
+        vote and keyframe decision both read it)."""
+        if "kf_obs" not in self._host_cache:
+            self._host_cache["kf_obs"] = np.asarray(self.kf_obs)
+        return self._host_cache["kf_obs"]
+
+    def lm_valid_host(self) -> np.ndarray:
+        if "lm_valid" not in self._host_cache:
+            self._host_cache["lm_valid"] = np.asarray(self.lm_valid)
+        return self._host_cache["lm_valid"]
 
     # ---------------- keyframes ----------------
 
@@ -125,7 +143,7 @@ class SlamMap:
         np.add.at(self.lm_obs_count, seen, 1)
         self.n_kf += 1
         self.next_kf_id += 1
-        self._covis_cache = None
+        self._invalidate_caches()
         return k
 
     def set_kf_poses(self, kf_ids, poses):
@@ -169,6 +187,7 @@ class SlamMap:
         v = np.ones(len(ids), bool) if valid_mask is None else np.asarray(valid_mask)
         self.lm_valid = self.lm_valid.at[ids_j].set(jnp.asarray(v))
         self.lm_first_kf[ids] = first_kf
+        self._host_cache.pop("lm_valid", None)
 
     def set_landmark_positions(self, ids, pos):
         self.lm_pos = self.lm_pos.at[jnp.asarray(ids)].set(jnp.asarray(pos))
@@ -183,7 +202,7 @@ class SlamMap:
         is_bad = jnp.zeros(self.l_max, bool).at[ids_j].set(True)
         obs_bad = (self.kf_obs >= 0) & is_bad[jnp.maximum(self.kf_obs, 0)]
         self.kf_obs = jnp.where(obs_bad, -1, self.kf_obs)
-        self._covis_cache = None
+        self._invalidate_caches()
 
     def add_observations(self, kf_id: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind landmark ids to keyframe features (MapPoint::AddObservation +
@@ -194,7 +213,7 @@ class SlamMap:
             jnp.asarray(lm_ids, jnp.int32)
         )
         np.add.at(self.lm_obs_count, np.asarray(lm_ids), 1)
-        self._covis_cache = None
+        self._invalidate_caches()
 
     # ---------------- queries ----------------
 
@@ -208,15 +227,15 @@ class SlamMap:
 
     def keyframe_landmarks(self, kf_id: int) -> np.ndarray:
         """Landmark ids observed by a keyframe (host, deduped, valid only)."""
-        obs = np.asarray(self.kf_obs[kf_id])
-        lm_valid = np.asarray(self.lm_valid)
+        obs = self.kf_obs_host()[kf_id]
+        lm_valid = self.lm_valid_host()
         ids = obs[obs >= 0]
         return np.unique(ids[lm_valid[ids]])
 
     def observations_of(self, lm_ids: np.ndarray) -> tuple:
         """(kf_idx, feat_idx, lm_idx_into_input) for all observations of the
         given landmarks across valid keyframes (host-side)."""
-        obs = np.asarray(self.kf_obs[: self.n_kf])  # (K, F)
+        obs = self.kf_obs_host()[: self.n_kf]  # (K, F)
         lookup = np.full(self.l_max, -1, np.int64)
         lookup[lm_ids] = np.arange(len(lm_ids))
         hit = (obs >= 0) & (lookup[np.maximum(obs, 0)] >= 0)
@@ -240,7 +259,7 @@ class SlamMap:
         self.kf_valid = self.kf_valid.at[kf_id].set(False)
         self.kf_obs = self.kf_obs.at[kf_id].set(-1)
         self.kf_feat_valid = self.kf_feat_valid.at[kf_id].set(False)
-        self._covis_cache = None
+        self._invalidate_caches()
 
     def replace_landmark(self, loser: int, winner: int):
         """MapPoint::Replace semantics: merge duplicate landmarks after
@@ -268,7 +287,7 @@ class SlamMap:
             ].set(-1)
         self.lm_valid = self.lm_valid.at[loser].set(False)
         self.lm_obs_count[loser] = 0
-        self._covis_cache = None
+        self._invalidate_caches()
 
     def scrub_observations(self, kf_idx, feat_idx):
         """Remove specific (keyframe, feature) observations (BA outlier
@@ -281,7 +300,7 @@ class SlamMap:
         self.kf_obs = self.kf_obs.at[
             jnp.asarray(kf_idx), jnp.asarray(feat_idx)
         ].set(-1)
-        self._covis_cache = None
+        self._invalidate_caches()
 
     def pseudo_frame(self, kf_id: int):
         """View a stored keyframe as a Frame (for projection-based matching

@@ -98,6 +98,7 @@ class Tracking:
         self.trajectory: list = []
         self.n_inliers = 0
         self.new_kf_ids: list = []
+        self._fused_cache = {}  # image shape -> jitted fused steady step
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -120,6 +121,31 @@ class Tracking:
         Returns the current Tcw (4, 4) numpy or None while uninitialized.
         """
         self.frame_id += 1
+
+        if (
+            self.state == TrackingState.OK
+            and self.velocity is not None
+            and self.last_obs is not None
+        ):
+            # hot path: the whole steady-state frame as ONE device program
+            status, frame = self._track_frame_fused(image)
+            if status == "ok":
+                ok = True
+            elif status == "stage2":
+                # local-map tracking failed (same outcome as the unfused flow)
+                self.state = TrackingState.LOST
+                self.velocity = None
+                ok = False
+            else:  # motion model failed -> host fallbacks (ref-KF tracking)
+                if frame is None:
+                    frame = self.extractor(jnp.asarray(image, jnp.float32))
+                ok = self._track_frame(frame, try_motion=False)
+            pose = self.last_pose if ok else None
+            if pose is None:
+                self.trajectory.append((self.frame_id, timestamp, None, -1, None))
+                return None
+            return self._log_pose(pose, timestamp)
+
         extractor = (
             self.ini_extractor
             if self.state in (TrackingState.NO_IMAGES, TrackingState.NOT_INITIALIZED)
@@ -142,16 +168,19 @@ class Tracking:
 
         if pose is None:
             self.trajectory.append((self.frame_id, timestamp, None, -1, None))
+            return None
+        return self._log_pose(pose, timestamp)
+
+    def _log_pose(self, pose, timestamp):
+        pose_np = np.asarray(pose)
+        ref = self.ref_kf
+        if ref >= 0:
+            T_ref = np.asarray(self.map.kf_pose[ref])
+            T_rel = pose_np @ np.linalg.inv(T_ref)
         else:
-            pose_np = np.asarray(pose)
-            ref = self.ref_kf
-            if ref >= 0:
-                T_ref = np.asarray(self.map.kf_pose[ref])
-                T_rel = pose_np @ np.linalg.inv(T_ref)
-            else:
-                T_rel = None
-            self.trajectory.append((self.frame_id, timestamp, pose_np, ref, T_rel))
-        return None if pose is None else np.asarray(pose)
+            T_rel = None
+        self.trajectory.append((self.frame_id, timestamp, pose_np, ref, T_rel))
+        return pose_np
 
     # ------------------------------------------------------------------
     # Initialization (ref :157-284)
@@ -290,9 +319,133 @@ class Tracking:
     # ------------------------------------------------------------------
     # Steady-state tracking (ref :95-152)
     # ------------------------------------------------------------------
-    def _track_frame(self, frame) -> bool:
+    def _build_fused_steady(self):
+        """One jitted program for the whole steady-state frame (the design
+        stance of SURVEY.md §7.1: the per-frame pipeline is ONE fixed-shape
+        computation): extract -> motion-model projection match (radius 15,
+        in-graph retry at 30) -> pose-only BA -> local-map projection match
+        (radius 4, landmark invariants) -> pose-only BA -> velocity update.
+
+        The unfused per-stage methods below remain as fallbacks (reference-
+        keyframe tracking, relocalization) and as the behavioral spec.
+        """
+        ext = self.extractor
+        K = self.K
+        sf = self.scale_factors
+        inv_sig = jnp.asarray(self.inv_level_sigma2)
+        n_levels = self.cfg.n_levels
+        from jax import lax
+
+        def obs_from_matches(frame, matches, ids, lm_pos):
+            n_set = matches.shape[0]
+            obs_loc = jnp.full(frame.n_features, -1, jnp.int32)
+            obs_loc = obs_loc.at[jnp.maximum(matches, 0)].max(
+                jnp.where(matches >= 0, jnp.arange(n_set, dtype=jnp.int32), -1)
+            )
+            has = obs_loc >= 0
+            sel = ids[jnp.maximum(obs_loc, 0)]
+            Xw = lm_pos[sel]
+            obs_glob = jnp.where(has, sel, -1)
+            return obs_glob, Xw, has
+
+        def step(
+            image, mm_ids, mm_n, loc_ids, loc_n, velocity, last_pose,
+            lm_pos, lm_desc, lm_valid, lm_oct, lm_normal, lm_mind, lm_maxd,
+        ):
+            frame = ext._extract(image)
+            inv_s2 = inv_sig[jnp.clip(frame.octave, 0, n_levels - 1)]
+            pred = velocity @ last_pose
+
+            # stage 1: motion model (ref TrackWithMotionModel :330-372)
+            v1 = (jnp.arange(mm_ids.shape[0]) < mm_n) & lm_valid[mm_ids]
+            p1, d1, o1 = lm_pos[mm_ids], lm_desc[mm_ids], lm_oct[mm_ids]
+
+            def match1(radius):
+                m, _, _ = search_by_projection(
+                    p1, d1, v1, o1, pred, frame, K, jnp.asarray(radius), sf
+                )
+                return m
+
+            m15 = match1(15.0)
+            m1 = lax.cond(
+                jnp.sum(m15 >= 0) >= 20, lambda: m15, lambda: match1(30.0)
+            )
+            n_match1 = jnp.sum(m1 >= 0)
+            obs1, Xw1, has1 = obs_from_matches(frame, m1, mm_ids, lm_pos)
+            Tcw1, _, n1 = pose_optimization(
+                pred, Xw1, frame.xy, inv_s2, has1 & frame.valid, K
+            )
+            ok1 = (n_match1 >= 20) & (n1 >= 10)
+            Tcw1 = jnp.where(ok1, Tcw1, pred)
+
+            # stage 2: local map (ref TrackLocalMap :374-387 + the empty
+            # SearchLocalPoints), seeded by stage 1's pose
+            v2 = (jnp.arange(loc_ids.shape[0]) < loc_n) & lm_valid[loc_ids]
+            m2, _, _ = search_by_projection(
+                lm_pos[loc_ids], lm_desc[loc_ids], v2, lm_oct[loc_ids],
+                Tcw1, frame, K, jnp.asarray(4.0), sf,
+                pts_normal=lm_normal[loc_ids],
+                pts_min_dist=lm_mind[loc_ids],
+                pts_max_dist=lm_maxd[loc_ids],
+            )
+            obs2, Xw2, has2 = obs_from_matches(frame, m2, loc_ids, lm_pos)
+            Tcw2, inl2, n2 = pose_optimization(
+                Tcw1, Xw2, frame.xy, inv_s2, has2 & frame.valid, K
+            )
+            obs2 = jnp.where(inl2, obs2, -1)
+            ok = ok1 & (n2 >= 30)
+            velocity_new = Tcw2 @ jnp.linalg.inv(last_pose)
+            return frame, Tcw2, obs2, velocity_new, ok1, ok, n2
+
+        return jax.jit(step)
+
+    def _track_frame_fused(self, image):
+        """Fused steady-state step; returns (status, frame).
+
+        status: 'ok' (tracked), 'stage1' (motion model failed — caller should
+        try reference-keyframe tracking on the returned frame), 'stage2'
+        (local map failed — lost, matching the unfused control flow).
+        """
+        shape = tuple(image.shape)
+        if shape not in self._fused_cache:
+            self._fused_cache[shape] = self._build_fused_steady()
+        step = self._fused_cache[shape]
+
+        mm = np.unique(self.last_obs[self.last_obs >= 0])
+        if len(mm) < 10:
+            return "stage1", None
+        loc = self._local_map_landmarks()[:LOCAL_MAP_MAX]
+        if len(loc) == 0:
+            return "stage1", None
+        m = self.map
+        frame, Tcw, obs, vel, ok1, ok, n2 = step(
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(_pad_ids(mm, m.f_max)),
+            jnp.asarray(min(len(mm), m.f_max)),
+            jnp.asarray(_pad_ids(loc, LOCAL_MAP_MAX)),
+            jnp.asarray(min(len(loc), LOCAL_MAP_MAX)),
+            self.velocity,
+            jnp.asarray(self.last_pose),
+            m.lm_pos, m.lm_desc_pm1, m.lm_valid, m.lm_octave,
+            m.lm_normal, m.lm_min_dist, m.lm_max_dist,
+        )
+        if not bool(np.asarray(ok1)):
+            return "stage1", frame
+        if not bool(np.asarray(ok)):
+            return "stage2", frame
+        self._prev_pose = self.last_pose
+        self.last_pose = Tcw
+        self.last_obs = np.asarray(obs)
+        self.velocity = vel
+        self.n_inliers = int(np.asarray(n2))
+        if self._need_new_keyframe(frame):
+            self._insert_keyframe(frame)
+        self.last_frame = frame
+        return "ok", frame
+
+    def _track_frame(self, frame, try_motion: bool = True) -> bool:
         ok = False
-        if self.velocity is not None:
+        if try_motion and self.velocity is not None:
             ok = self._track_with_motion_model(frame)
         if not ok:
             ok = self._track_reference_keyframe(frame)
@@ -479,7 +632,7 @@ class Tracking:
         if frames_since_kf < 1:
             return False
         # reference-KF tracked points at same or finer scale
-        ref_tracked = int((np.asarray(self.map.kf_obs[self.ref_kf]) >= 0).sum())
+        ref_tracked = int((self.map.kf_obs_host()[self.ref_kf] >= 0).sum())
         weak = self.n_inliers < 0.9 * max(ref_tracked, 1)
         long_gap = frames_since_kf >= max(2, int(self.cfg.fps))
         return (weak or long_gap) and self.n_inliers >= 30
