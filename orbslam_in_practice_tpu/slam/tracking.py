@@ -99,6 +99,7 @@ class Tracking:
         self.n_inliers = 0
         self.new_kf_ids: list = []
         self._fused_cache = {}  # image shape -> jitted fused steady step
+        self.use_fused = True  # single-program steady state (tests flip this)
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -123,7 +124,8 @@ class Tracking:
         self.frame_id += 1
 
         if (
-            self.state == TrackingState.OK
+            self.use_fused
+            and self.state == TrackingState.OK
             and self.velocity is not None
             and self.last_obs is not None
         ):

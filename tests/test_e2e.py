@@ -71,3 +71,22 @@ def test_e2e_map_checkpoint(tmp_path, seq):
     sys2 = SlamSystem(small_config())
     sys2.load_map(str(path))
     assert sys2.map.stats() == stats_before
+
+
+def test_e2e_fused_matches_unfused(seq):
+    """The single-program steady-state step (Tracking._build_fused_steady)
+    must track with the same quality as the per-stage host-driven flow, and
+    must actually be exercised (not silently falling back)."""
+    results = {}
+    for fused in (True, False):
+        sys = SlamSystem(small_config())
+        sys.tracker.use_fused = fused
+        for i in range(24):
+            sys.track_monocular(seq.render(i), i * 0.1)
+        assert sys.state == TrackingState.OK
+        results[fused] = ate_rmse(sys.get_trajectory(), seq.gt_centers())[0]
+        if fused:
+            # the fused program really compiled and ran
+            assert len(sys.tracker._fused_cache) == 1
+    assert results[True] < 0.05
+    assert results[False] < 0.05
