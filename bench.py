@@ -13,8 +13,8 @@ with a 512-feature budget, 1024 live landmarks, 4096-slot local map.
 Baseline: the reference publishes no numbers and cannot run (BASELINE.md);
 per BASELINE.json config 1 the baseline is our own CPU-runnable
 implementation of the same pipeline — measured on this container's CPU at
-2.17 frames/s (chained, dispatch-amortized, per-iteration-varying images).
-vs_baseline = value / 2.17.
+2.47 frames/s (chained, dispatch-amortized, real rendered frames).
+vs_baseline = value / 2.47.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_FPS = 2.17  # measured: the same chained step on host CPU (this container)
+CPU_BASELINE_FPS = 2.47  # measured: the same chained step on host CPU (this container)
 
 
 def main():
@@ -34,12 +34,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax
 
-    from __graft_entry__ import entry
+    from __graft_entry__ import _build_bench_state
 
     from jax import lax
     import jax.numpy as jnp
 
-    fn, args = entry()
+    fn, args, images = _build_bench_state(n_images=10)
     (image, mm_ids, mm_n, loc_ids, loc_n, velocity, last_pose, *tables) = args
 
     # Chip throughput: chain REPS tracking steps inside ONE program (pose and
@@ -66,20 +66,23 @@ def main():
     step = jax.jit(chained)
 
     rng = np.random.default_rng(1)
-    base = np.asarray(image)
+    # real consecutive rendered frames (the pose/velocity feedback genuinely
+    # tracks), lightly noised per trial batch
     batches = [
-        jnp.asarray(
-            base[None] + rng.uniform(0, 1, (REPS,) + base.shape).astype(np.float32)
-        )
+        jnp.asarray(images + rng.uniform(0, 1, images.shape).astype(np.float32))
         for _ in range(4)
     ]
-    jax.block_until_ready(step(batches[0], last_pose, velocity))  # compile
+    float(jnp.sum(step(batches[0], last_pose, velocity)[0]))  # compile + run
     best_fps = 0.0
     for _ in range(5):
         n_calls = 8
         t0 = time.perf_counter()
         outs = [step(batches[i % 4], last_pose, velocity) for i in range(n_calls)]
+        # Host-read the last result: on this backend block_until_ready alone
+        # may not force execution (BENCH_NOTES.md); a scalar read does, and
+        # in-order device queues mean it forces all prior calls too.
         jax.block_until_ready(outs)
+        _ = np.asarray(outs[-1][0]).sum()
         dt = time.perf_counter() - t0
         best_fps = max(best_fps, n_calls * REPS / dt)
     fps = best_fps

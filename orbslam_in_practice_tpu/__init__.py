@@ -28,9 +28,12 @@ __version__ = "0.1.0"
 # and flips borderline BRIEF comparison bits. The engine's throughput-
 # critical matmuls are int8 (Hamming) or carry explicit per-call precision
 # (Pallas kernels), so full-precision float matmuls cost nothing measurable.
+# Respect an explicit user/process-level choice: only set the default when
+# none has been configured.
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "highest")
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def __getattr__(name):

@@ -431,15 +431,18 @@ class Tracking:
             m.lm_pos, m.lm_desc_pm1, m.lm_valid, m.lm_octave,
             m.lm_normal, m.lm_min_dist, m.lm_max_dist,
         )
-        if not bool(np.asarray(ok1)):
+        # ONE device->host transfer for all small outputs (each separate read
+        # costs a full relay round trip — BENCH_NOTES.md)
+        ok1_h, ok_h, obs_h, n2_h = jax.device_get((ok1, ok, obs, n2))
+        if not bool(ok1_h):
             return "stage1", frame
-        if not bool(np.asarray(ok)):
+        if not bool(ok_h):
             return "stage2", frame
         self._prev_pose = self.last_pose
         self.last_pose = Tcw
-        self.last_obs = np.asarray(obs)
+        self.last_obs = obs_h
         self.velocity = vel
-        self.n_inliers = int(np.asarray(n2))
+        self.n_inliers = int(n2_h)
         if self._need_new_keyframe(frame):
             self._insert_keyframe(frame)
         self.last_frame = frame

@@ -46,4 +46,4 @@ def load_map(path: str, smap):
         setattr(smap, f, data[f].copy())
     for f in _SCALARS:
         setattr(smap, f, int(data[f]))
-    smap._covis_cache = None
+    smap._invalidate_caches()

@@ -34,11 +34,12 @@ REPS = 20
 
 def timed(name, fn, *args):
     jitted = jax.jit(fn)
-    out = jax.block_until_ready(jitted(*args))
+    out = jitted(*args)
+    float(jnp.sum(out))  # host read forces execution (BENCH_NOTES)
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(jitted(*args))
+        float(jnp.sum(jitted(*args)))
         best = min(best, (time.perf_counter() - t0) / REPS)
     print(f"{name:44s} {best*1e3:8.3f} ms/step")
     return out
@@ -56,6 +57,22 @@ def chain(stage):
 
 
 # ---------------- blur variants ----------------
+
+
+def blur_conv_old(img):
+    """The PRE-MERGE conv-based blur (kept here as the baseline variant —
+    gaussian_blur7 itself is now the shift-add winner)."""
+    k = jnp.asarray(_gauss_kernel7(2.0))
+    x = jnp.pad(img, ((3, 3), (3, 3)), mode="edge")
+    x = lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[0, 0]
 
 
 def blur_shift(img):
@@ -154,24 +171,24 @@ def brief_direct(img_blur, yx, angle):
 # ---------------- fast variants ----------------
 
 
-def fast_score_tree(img):
+def fast_score_rolled_old(img):
+    """The PRE-MERGE rolled-window FAST score (baseline variant — fast_score
+    itself is now the doubling-tree winner)."""
     from orbslam_in_practice_tpu.ops.fast import _CIRCLE, _ARC
 
     h, w = img.shape
     neigh = jnp.stack(
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for (dx, dy) in _CIRCLE], axis=0
     )
-    m = neigh - img[None]  # bright margins (16, H, W)
+    bright_m = neigh - img[None]
 
-    def win9(x, op):
-        x2 = op(x, jnp.roll(x, -1, axis=0))
-        x4 = op(x2, jnp.roll(x2, -2, axis=0))
-        x8 = op(x4, jnp.roll(x4, -4, axis=0))
-        return op(x8, jnp.roll(x, -8, axis=0))
+    def arc_score(margin):
+        acc = margin
+        for k in range(1, _ARC):
+            acc = jnp.minimum(acc, jnp.roll(margin, -k, axis=0))
+        return jnp.max(acc, axis=0)
 
-    bright = jnp.max(win9(m, jnp.minimum), axis=0)
-    dark = -jnp.min(win9(m, jnp.maximum), axis=0)
-    score = jnp.maximum(jnp.maximum(bright, dark), 0.0)
+    score = jnp.maximum(jnp.maximum(arc_score(bright_m), arc_score(-bright_m)), 0.0)
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
@@ -190,10 +207,10 @@ def main():
     )
 
     # blur
-    ref = timed("blur conv (current)", chain(gaussian_blur7), img)
-    out = timed("blur shift-add", chain(blur_shift), img)
-    a = np.asarray(jax.jit(gaussian_blur7)(img))
-    b = np.asarray(jax.jit(blur_shift)(img))
+    timed("blur conv (old baseline)", chain(blur_conv_old), img)
+    timed("blur shift-add (merged)", chain(gaussian_blur7), img)
+    a = np.asarray(jax.jit(blur_conv_old)(img))
+    b = np.asarray(jax.jit(gaussian_blur7)(img))
     print("  blur max|diff| interior:", np.abs(a[3:-3, 3:-3] - b[3:-3, 3:-3]).max())
 
     # pyramid
@@ -227,10 +244,10 @@ def main():
     print("  brief equal:", np.array_equal(a, b))
 
     # fast
-    timed("fast jnp (current, no nms)", chain(fast_score), img)
-    timed("fast jnp tree-min", chain(fast_score_tree), img)
-    a = np.asarray(jax.jit(fast_score)(img))
-    b = np.asarray(jax.jit(fast_score_tree)(img))
+    timed("fast rolled (old baseline)", chain(fast_score_rolled_old), img)
+    timed("fast tree-min (merged)", chain(fast_score), img)
+    a = np.asarray(jax.jit(fast_score_rolled_old)(img))
+    b = np.asarray(jax.jit(fast_score)(img))
     print("  fast max|diff|:", np.abs(a - b).max())
 
 

@@ -36,11 +36,11 @@ REPS = 20
 
 def timed(name, fn, *args):
     jitted = jax.jit(fn)
-    jax.block_until_ready(jitted(*args))
+    float(jitted(*args))  # compile; host read forces execution (BENCH_NOTES)
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(jitted(*args))
+        float(jitted(*args))
         best = min(best, (time.perf_counter() - t0) / REPS)
     print(f"{name:38s} {best*1e3:8.3f} ms/step")
 
