@@ -45,6 +45,8 @@ class SlamConfig:
     k_max: int = 256
     l_max: int = 16384
     local_window: int = 6  # local-BA keyframe window
+    ba_lm_budget: int = 2048  # local-BA padded landmark budget
+    ba_obs_budget: int = 8192  # local-BA padded observation budget
     # loop closing
     enable_loop_closing: bool = True
 
@@ -83,10 +85,15 @@ _KEY_MAP = {
     "Engine.kMax": "k_max",
     "Engine.lMax": "l_max",
     "Engine.localWindow": "local_window",
+    "Engine.baLmBudget": "ba_lm_budget",
+    "Engine.baObsBudget": "ba_obs_budget",
     "LoopClosing.enable": "enable_loop_closing",
 }
 
-_INT_FIELDS = {"n_features", "n_levels", "width", "height", "k_max", "l_max", "local_window"}
+_INT_FIELDS = {
+    "n_features", "n_levels", "width", "height", "k_max", "l_max",
+    "local_window", "ba_lm_budget", "ba_obs_budget",
+}
 _BOOL_FIELDS = {"rgb", "enable_loop_closing"}
 
 

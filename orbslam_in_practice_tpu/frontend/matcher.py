@@ -28,7 +28,7 @@ from orbslam_in_practice_tpu.ops.hamming import hamming_matrix
 TH_LOW = 50  # ref src/ORBmatcher.cpp:7
 TH_HIGH = 100  # original ORB-SLAM TH_HIGH
 HISTO_BINS = 30  # ref :6
-_BIG = jnp.int32(1 << 20)
+_BIG = 1 << 20  # plain int: no backend init at import time
 
 
 def _rotation_consistency(rot_diff: jnp.ndarray, matched: jnp.ndarray) -> jnp.ndarray:

@@ -16,8 +16,15 @@ from orbslam_in_practice_tpu.geometry import se3
 import jax.numpy as jnp
 
 
-def make_trajectory(n_frames: int, kind: str = "strafe", step: float = 0.04):
-    """Ground-truth Tcw per frame. Kinds: strafe (lateral), forward, orbit."""
+def make_trajectory(
+    n_frames: int,
+    kind: str = "strafe",
+    step: float = 0.04,
+    orbit_step: float | None = None,
+):
+    """Ground-truth Tcw per frame. Kinds: strafe (lateral), forward (FOE
+    motion after a sideways lead-in for parallax), orbit (circle that
+    revisits its start — loop-closure regime), rotation (yaw-dominant)."""
     poses = []
     for i in range(n_frames):
         T = np.eye(4, dtype=np.float32)
@@ -28,9 +35,13 @@ def make_trajectory(n_frames: int, kind: str = "strafe", step: float = 0.04):
             t_wc = np.array([0.15 * np.sin(i * 0.08), 0.0, i * step])
             yaw = 0.02 * np.sin(i * 0.1)
         elif kind == "orbit":
-            ang = i * step * 0.2
+            ang = i * (orbit_step if orbit_step is not None else step * 0.2)
             t_wc = np.array([3.0 * np.sin(ang), 0.0, 3.0 * (1 - np.cos(ang))])
             yaw = -ang
+        elif kind == "rotation":
+            # rotation-dominant: slow lateral drift + strong sinusoidal yaw
+            t_wc = np.array([i * step * 0.5, 0.0, 0.0])
+            yaw = 0.35 * np.sin(i * 0.08)
         else:
             raise ValueError(kind)
         R_wc = np.asarray(
@@ -58,13 +69,19 @@ class SyntheticSequence:
         seed: int = 0,
         depth_range: tuple = (3.0, 9.0),
         spread: tuple = (6.0, 4.5),
+        orbit_step: float | None = None,
+        noise_sigma: float = 0.0,
+        brightness_jitter: float = 0.0,
     ):
         rng = np.random.default_rng(seed)
         self.width, self.height = width, height
+        self.seed = seed
+        self.noise_sigma = noise_sigma
+        self.brightness_jitter = brightness_jitter
         self.K = np.array(
             [[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32
         )
-        self.poses = make_trajectory(n_frames, kind)
+        self.poses = make_trajectory(n_frames, kind, orbit_step=orbit_step)
         self.n_frames = n_frames
         # scene sized to stay visible along the trajectory
         centers_w = np.stack(
@@ -110,4 +127,18 @@ class SyntheticSequence:
             y0, y1 = max(vj - h, 0), min(vj + h + 1, self.height)
             x0, x1 = max(uj - h, 0), min(uj + h + 1, self.width)
             img[y0:y1, x0:x1] = self.intensity[j]
+        if self.brightness_jitter > 0.0 or self.noise_sigma > 0.0:
+            # deterministic per-frame degradation (real-data-shaped: sensor
+            # noise + exposure changes; VERDICT round 1 item 7)
+            frng = np.random.default_rng((self.seed + 1) * 100003 + i)
+            if self.brightness_jitter > 0.0:
+                gain = 1.0 + self.brightness_jitter * float(
+                    frng.uniform(-1.0, 1.0)
+                )
+                img = img * gain
+            if self.noise_sigma > 0.0:
+                img = img + frng.normal(
+                    0.0, self.noise_sigma, img.shape
+                ).astype(np.float32)
+            img = np.clip(img, 0.0, 255.0)
         return img

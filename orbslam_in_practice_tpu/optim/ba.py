@@ -32,7 +32,9 @@ from jax import lax
 from orbslam_in_practice_tpu.geometry.se3 import exp_se3, hat
 
 CHI2_MONO = 5.991
-HUBER_DELTA = float(jnp.sqrt(CHI2_MONO))
+# plain float (a module-level jnp op would initialize the XLA backend at
+# import time, breaking jax.distributed.initialize in multi-process runs)
+HUBER_DELTA = CHI2_MONO**0.5
 
 
 # At or below this camera count the Schur system is assembled with dense

@@ -25,7 +25,9 @@ from jax import lax
 from orbslam_in_practice_tpu.geometry.se3 import exp_se3, hat
 
 CHI2_MONO = 5.991
-HUBER_DELTA = jnp.sqrt(CHI2_MONO)
+# plain float (a module-level jnp op would initialize the XLA backend at
+# import time, breaking jax.distributed.initialize in multi-process runs)
+HUBER_DELTA = CHI2_MONO**0.5
 
 
 def _residual_jacobian(Tcw, Xw, uv, K):
@@ -155,7 +157,11 @@ def pose_optimization(
 
     Tcw = Tcw0
     for rnd in range(rounds):
-        use_huber = rnd < max(rounds - 2, 1)  # drop robust kernel late (ref :242-243)
+        # robust kernel active for all but the LAST round (the reference
+        # disables it after round 3 of 4 — src/Optimizer.cpp:242-243: by the
+        # final round the chi2 gating has scrubbed the gross outliers, so the
+        # last round runs plain Gauss weights for an unbiased refinement)
+        use_huber = rnd < rounds - 1
         Tcw = lm_round(Tcw, inlier, use_huber)
         # re-gate ALL valid edges (allows re-inclusion, ref :211-247)
         r, _, z = _residual_jacobian(Tcw, Xw, uv, K)

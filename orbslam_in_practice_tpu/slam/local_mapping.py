@@ -16,6 +16,7 @@ and windowed local BA (optim/ba.py) with padded static shapes.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import jax
@@ -153,9 +154,12 @@ class LocalMapper:
         )
         # padded local-BA shapes (stable jit cache)
         self.ba_k = int(2 ** int(np.ceil(np.log2(max(4, config.local_window + 8)))))
-        self.ba_l = 2048
-        self.ba_o = 8192
-        self._recent_lms: list = []  # (lm_id, created_at_kf) for culling
+        self.ba_l = getattr(config, "ba_lm_budget", 2048)
+        self.ba_o = getattr(config, "ba_obs_budget", 8192)
+        # (lm_id, lm_uid, created_at_seq) for culling — uid guards against
+        # slot recycling, seq (not slot id) measures age
+        self._recent_lms: list = []
+        self.n_ba_truncations = 0  # local-BA budget clips (SURVEY §7.3 risk)
 
     # ---------- landmark invariant refresh ----------
 
@@ -227,7 +231,7 @@ class LocalMapper:
         """Triangulate new landmarks between the new KF and its top covisible
         neighbors (capability absent in reference — SURVEY.md §3.5)."""
         covis = smap.covisibility()
-        if smap.n_kf < 2:
+        if smap.n_kf_active() < 2:
             return 0
         row = covis[kf_id].copy()
         order = np.argsort(-row)
@@ -299,10 +303,15 @@ class LocalMapper:
             )
             smap.add_observations(kf_id, new_feats, ids)
             smap.add_observations(nb, m_h[new_feats], ids)
-            self._recent_lms.extend((int(i), kf_id) for i in ids)
+            seq = int(smap.kf_seq[kf_id])
+            self._recent_lms.extend(
+                (int(i), int(smap.lm_uid[i]), seq) for i in ids
+            )
             n_created += len(ids)
         if n_created:
-            new_ids = np.array([i for i, _ in self._recent_lms[-n_created:]], np.int32)
+            new_ids = np.array(
+                [i for i, _, _ in self._recent_lms[-n_created:]], np.int32
+            )
             self.refresh_landmarks(smap, new_ids)
         return n_created
 
@@ -326,6 +335,12 @@ class LocalMapper:
         )
         if len(lm_ids) == 0:
             return
+        if len(lm_ids) > self.ba_l:
+            self.n_ba_truncations += 1
+            logging.getLogger("orbslam_tpu").warning(
+                "local BA landmark budget clipped: %d -> %d (kf %d)",
+                len(lm_ids), self.ba_l, kf_id,
+            )
         lm_ids = lm_ids[: self.ba_l]
         kf_idx, feat_idx, which = smap.observations_of(lm_ids)
         # cameras: window (free) + others observing these landmarks (fixed)
@@ -338,8 +353,9 @@ class LocalMapper:
         for i, k in enumerate(cams):
             if k not in window:
                 fixed[i] = True
-        # gauge: also fix the oldest window KF (and all if tiny map)
-        oldest = min(window)
+        # gauge: also fix the oldest window KF by insertion seq (slot ids
+        # are not temporal under recycling)
+        oldest = min(window, key=lambda k: smap.kf_seq[k])
         fixed[cam_slot[oldest]] = True
         if not fixed.any() or len(cams) == 1:
             return
@@ -348,6 +364,12 @@ class LocalMapper:
         kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
         if len(kf_idx) == 0:
             return
+        if len(kf_idx) > self.ba_o:
+            self.n_ba_truncations += 1
+            logging.getLogger("orbslam_tpu").warning(
+                "local BA observation budget clipped: %d -> %d (kf %d)",
+                len(kf_idx), self.ba_o, kf_id,
+            )
         n_obs = min(len(kf_idx), self.ba_o)
         kf_idx, feat_idx, which = kf_idx[:n_obs], feat_idx[:n_obs], which[:n_obs]
         obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
@@ -430,23 +452,26 @@ class LocalMapper:
             )
             m_h = np.asarray(matches)
             obs_b = np.asarray(smap.kf_obs[nb])
-            add_feats, add_lms = [], []
-            for i in np.nonzero(m_h >= 0)[0]:
-                lm = int(ids_pad[i])
-                feat = int(m_h[i])
-                existing = int(obs_b[feat])
-                if existing < 0:
-                    add_feats.append(feat)
-                    add_lms.append(lm)
-                elif existing != lm:
-                    if smap.lm_obs_count[existing] >= smap.lm_obs_count[lm]:
-                        smap.replace_landmark(lm, existing)
-                    else:
-                        smap.replace_landmark(existing, lm)
-                    n_fused += 1
-            if add_feats:
-                smap.add_observations(nb, np.asarray(add_feats), np.asarray(add_lms))
-                n_fused += len(add_feats)
+            hit = np.nonzero(m_h >= 0)[0]
+            lms = ids_pad[hit]
+            feats = m_h[hit]
+            existing = obs_b[feats]
+            # free features gain an observation — one batched scatter
+            free = existing < 0
+            if free.any():
+                smap.add_observations(nb, feats[free], lms[free])
+                n_fused += int(free.sum())
+            # conflicting features hold ANOTHER landmark -> merge; the
+            # landmark with more observations wins (rare: loop stays small)
+            for lm, ex in zip(lms[~free], existing[~free]):
+                lm, ex = int(lm), int(ex)
+                if ex == lm:
+                    continue
+                if smap.lm_obs_count[ex] >= smap.lm_obs_count[lm]:
+                    smap.replace_landmark(lm, ex)
+                else:
+                    smap.replace_landmark(ex, lm)
+                n_fused += 1
         if n_fused:
             self.refresh_landmarks(smap, smap.keyframe_landmarks(kf_id))
         return n_fused
@@ -456,17 +481,23 @@ class LocalMapper:
     def cull_landmarks(self, smap, current_kf: int):
         """Recent-landmark culling (ORB-SLAM MapPointCulling semantics):
         a new landmark must be observed by >= 3 keyframes within 2 keyframes
-        of its creation or it is erased."""
+        of its creation or it is erased. Ages are measured in keyframe
+        SEQUENCE numbers (slot-recycling safe); stale entries whose slot was
+        recycled (uid mismatch) or already erased are dropped."""
+        cur_seq = int(smap.kf_seq[current_kf])
+        lm_valid = smap.lm_valid_host()
         keep, erase = [], []
-        for lm_id, created_at in self._recent_lms:
-            age = current_kf - created_at
+        for lm_id, uid, created_seq in self._recent_lms:
+            if smap.lm_uid[lm_id] != uid or not lm_valid[lm_id]:
+                continue  # recycled or already erased elsewhere
+            age = cur_seq - created_seq
             n_obs = smap.lm_obs_count[lm_id]
             if age >= 2:
                 if n_obs < 3:
                     erase.append(lm_id)
                 # else: graduated
             else:
-                keep.append((lm_id, created_at))
+                keep.append((lm_id, uid, created_seq))
         self._recent_lms = keep
         if erase:
             smap.erase_landmarks(np.array(erase, np.int32))
@@ -479,10 +510,12 @@ class LocalMapper:
         other keyframes at the same or a finer octave. Vectorized via a
         per-landmark cumulative octave histogram."""
         covis = smap.covisibility()
+        # the two INITIAL keyframes (by insertion seq, slot-recycling safe)
+        # are exempt — they carry the map gauge
         candidates = [
             int(j)
             for j in np.nonzero(covis[kf_id] >= 15)[0]
-            if j not in (0, 1) and j != kf_id
+            if smap.kf_seq[j] >= 2 and j != kf_id
         ]
         if not candidates:
             return 0
@@ -490,6 +523,13 @@ class LocalMapper:
         oct_all = np.asarray(smap.kf_octave[: smap.n_kf])
         valid_kf = np.array(np.asarray(smap.kf_valid[: smap.n_kf]))
         n_levels = self.cfg.n_levels
+        # per-(landmark, octave) observation histogram, built ONCE and
+        # decremented as keyframes are culled (was rebuilt per candidate)
+        sel = valid_kf[:, None] & (obs_all >= 0)
+        lm_flat = obs_all[sel]
+        oct_flat = np.clip(oct_all[sel], 0, n_levels - 1)
+        hist = np.zeros((smap.l_max, n_levels), np.int32)
+        np.add.at(hist, (lm_flat, oct_flat), 1)
         n_culled = 0
         for k in candidates:
             if not valid_kf[k]:
@@ -497,11 +537,6 @@ class LocalMapper:
             feats = np.nonzero(obs_all[k] >= 0)[0]
             if len(feats) < 20:
                 continue
-            sel = valid_kf[:, None] & (obs_all >= 0)
-            lm_flat = obs_all[sel]
-            oct_flat = np.clip(oct_all[sel], 0, n_levels - 1)
-            hist = np.zeros((smap.l_max, n_levels), np.int32)
-            np.add.at(hist, (lm_flat, oct_flat), 1)
             cum = np.cumsum(hist, axis=1)
             lms = obs_all[k, feats]
             octs = np.clip(oct_all[k, feats] + 1, 0, n_levels - 1)
@@ -509,6 +544,11 @@ class LocalMapper:
             redundant = int((n_better >= 3).sum())
             if redundant > 0.9 * len(feats):
                 smap.remove_keyframe(k)
+                np.add.at(
+                    hist,
+                    (lms, np.clip(oct_all[k, feats], 0, n_levels - 1)),
+                    -1,
+                )
                 valid_kf[k] = False
                 obs_all[k] = -1
                 n_culled += 1
@@ -524,7 +564,7 @@ class LocalMapper:
         self.cull_landmarks(smap, kf_id)
         self.create_new_points(smap, kf_id)
         self.fuse_neighbors(smap, kf_id)
-        if smap.n_kf >= 3:
+        if smap.n_kf_active() >= 3:
             self.local_ba(smap, kf_id)
-        if cull_kfs and smap.n_kf >= 8:
+        if cull_kfs and smap.n_kf_active() >= 8:
             self.cull_keyframes(smap, kf_id)

@@ -13,11 +13,14 @@ TPU-native design (no BoW vocabulary):
   an MXU-friendly dense retrieval.
 - Sim3: vmapped Horn-RANSAC over 3-point hypotheses between the matched
   landmark sets (the RANSAC wrapper + returns the reference's Sim3Solver
-  lacked), refined on inliers.
-- Correction: covisibility essential graph (sequential chain + strong
-  covisibility edges + the loop edge) optimized over Sim(3)
+  lacked), gated by PIXEL reprojection error in BOTH keyframes (ORB-SLAM's
+  Sim3Solver::CheckInliers semantics), refined on inliers.
+- Correction: covisibility essential graph (sequential chain in keyframe
+  INSERTION order — slot ids are not temporal once slots recycle — plus
+  strong covisibility edges and the loop edge) optimized over Sim(3)
   (optim/pose_graph.py); landmarks corrected through their reference
-  keyframe's Sim3 update; scale folded back to SE3 poses.
+  keyframe's Sim3 update (one batched transform); scale folded back to
+  SE3 poses.
 """
 
 from __future__ import annotations
@@ -28,16 +31,32 @@ import numpy as np
 
 from orbslam_in_practice_tpu.frontend.matcher import match_descriptor_sets
 from orbslam_in_practice_tpu.geometry.sim3 import horn_sim3
-from orbslam_in_practice_tpu.geometry.sim3_lie import se3_to_sim3, sim3_to_se3
 from orbslam_in_practice_tpu.optim.pose_graph import optimize_pose_graph
 
 N_HYP = 128
 MIN_INLIERS = 20
+# pixel chi2 gates, ORB-SLAM Sim3Solver convention (9.210 = chi2(2) @ 99%)
+PIX_CHI2 = 9.21
 
 
 @jax.jit
-def _sim3_ransac(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray, key):
+def _sim3_ransac(
+    pa: jnp.ndarray,
+    pb: jnp.ndarray,
+    uv_a: jnp.ndarray,
+    uv_b: jnp.ndarray,
+    inv_sigma2_a: jnp.ndarray,
+    inv_sigma2_b: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    key,
+):
     """Robust similarity pb ≈ s R pa + t via vmapped 3-point Horn hypotheses.
+
+    pa/pb are 3D points in the two keyframes' CAMERA frames; inliers are
+    gated by reprojection error in PIXELS in both images (scale-free,
+    unlike a 3D residual threshold): transform pa into b's frame and
+    project against uv_b, and the inverse into a's frame against uv_a.
 
     Returns (s, R, t, inlier_mask, n_inliers).
     """
@@ -49,31 +68,39 @@ def _sim3_ransac(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray, key):
         jnp.arange(N_HYP)[:, None], idx
     ].set(1.0)
 
+    def project(p):
+        z = jnp.maximum(p[:, 2], 1e-6)
+        u = K[0, 0] * p[:, 0] / z + K[0, 2]
+        v = K[1, 1] * p[:, 1] / z + K[1, 2]
+        return jnp.stack([u, v], axis=-1), p[:, 2]
+
+    def inliers_of(s, R, t):
+        pb_hat = s * pa @ R.T + t
+        pa_hat = (pb - t) @ R / jnp.maximum(s, 1e-9)
+        uvb_hat, zb = project(pb_hat)
+        uva_hat, za = project(pa_hat)
+        e_b = jnp.sum((uvb_hat - uv_b) ** 2, axis=-1) * inv_sigma2_b
+        e_a = jnp.sum((uva_hat - uv_a) ** 2, axis=-1) * inv_sigma2_a
+        return valid & (e_b < PIX_CHI2) & (e_a < PIX_CHI2) & (zb > 0) & (za > 0)
+
     def run(wm):
         s, R, t = horn_sim3(pa, pb, w=wm)
-        resid = pb - (s * pa @ R.T + t)
-        # scale-relative inlier threshold
-        scene = jnp.sqrt(jnp.maximum(jnp.sum(pb * pb, axis=-1).mean(), 1e-6))
-        inl = valid & (jnp.linalg.norm(resid, axis=-1) < 0.05 * scene)
-        return s, R, t, jnp.sum(inl)
+        return s, R, t, jnp.sum(inliers_of(s, R, t))
 
     ss, Rs, ts, n_inl = jax.vmap(run)(w)
     best = jnp.argmax(n_inl)
     s, R, t = ss[best], Rs[best], ts[best]
     # refine on inliers
-    resid = pb - (s * pa @ R.T + t)
-    scene = jnp.sqrt(jnp.maximum(jnp.sum(pb * pb, axis=-1).mean(), 1e-6))
-    inl = valid & (jnp.linalg.norm(resid, axis=-1) < 0.05 * scene)
+    inl = inliers_of(s, R, t)
     s, R, t = horn_sim3(pa, pb, w=inl.astype(jnp.float32))
-    resid = pb - (s * pa @ R.T + t)
-    inl = valid & (jnp.linalg.norm(resid, axis=-1) < 0.05 * scene)
+    inl = inliers_of(s, R, t)
     return s, R, t, inl, jnp.sum(inl)
 
 
 class LoopCloser:
     def __init__(self, config):
         self.cfg = config
-        self.last_loop_kf = -1e9
+        self.last_loop_seq = -(10**9)
         self.n_closures = 0
 
     # ---------------- place recognition ----------------
@@ -87,25 +114,27 @@ class LoopCloser:
         return s / np.maximum(n, 1e-9)
 
     def detect_candidates(self, smap, kf_id: int, n_cand: int = 3) -> list:
-        """Loop candidates: similar global descriptor, NOT covisible, and
-        older than a temporal guard band."""
-        if smap.n_kf < 10:
+        """Loop candidates: similar global descriptor, NOT covisible, valid,
+        and older than a temporal guard band (in insertion-seq units)."""
+        if smap.n_kf_active() < 10:
             return []
         g = self._global_descriptors(smap)
         sims = g @ g[kf_id]
         covis = smap.covisibility()
+        kf_valid = smap.kf_valid_host()
         neighbors = set(np.nonzero(covis[kf_id] >= 15)[0].tolist()) | {kf_id}
         # adaptive floor: covisible neighbors see the same place, so their
         # lowest similarity bounds "same-place" similarity from below
         # (ORB-SLAM's minScore against the BoW neighbor scores)
         nb_scores = [sims[j] for j in neighbors if j != kf_id]
         min_score = max(min(nb_scores) if nb_scores else 0.3, 0.2)
+        cur_seq = int(smap.kf_seq[kf_id])
         cands = []
         for j in np.argsort(-sims):
             j = int(j)
-            if j in neighbors:
+            if j in neighbors or not kf_valid[j]:
                 continue
-            if abs(kf_id - j) < 10:  # temporal guard
+            if abs(cur_seq - int(smap.kf_seq[j])) < 10:  # temporal guard
                 continue
             if sims[j] < min_score:
                 break
@@ -142,15 +171,36 @@ class LoopCloser:
         Tb = np.asarray(smap.kf_pose[cand])
         pa_cam = lm_pos[lm_b] @ Tb[:3, :3].T + Tb[:3, 3]  # candidate's view
         pb_cam = lm_pos[lm_a] @ Ta[:3, :3].T + Ta[:3, 3]  # current's view
+        # the observed pixels of those features (for the pixel inlier gate)
+        uv_b = np.asarray(smap.kf_xy[kf_id])[sel]
+        uv_a = np.asarray(smap.kf_xy[cand])[m_h[sel]]
+        oct_b = np.asarray(smap.kf_octave[kf_id])[sel]
+        oct_a = np.asarray(smap.kf_octave[cand])[m_h[sel]]
+        inv_s2 = 1.0 / np.asarray(
+            [self.cfg.scale_factor ** (2 * i) for i in range(self.cfg.n_levels)],
+            np.float32,
+        )
         n_pad = f_max
         pa = np.zeros((n_pad, 3), np.float32)
         pb = np.zeros((n_pad, 3), np.float32)
+        ua = np.zeros((n_pad, 2), np.float32)
+        ub = np.zeros((n_pad, 2), np.float32)
+        wa = np.ones(n_pad, np.float32)
+        wb = np.ones(n_pad, np.float32)
         valid = np.zeros(n_pad, bool)
         pa[: len(sel)] = pa_cam
         pb[: len(sel)] = pb_cam
+        ua[: len(sel)] = uv_a
+        ub[: len(sel)] = uv_b
+        wa[: len(sel)] = inv_s2[np.clip(oct_a, 0, self.cfg.n_levels - 1)]
+        wb[: len(sel)] = inv_s2[np.clip(oct_b, 0, self.cfg.n_levels - 1)]
         valid[: len(sel)] = True
         s, R, t, inl, n_inl = _sim3_ransac(
-            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid), jax.random.PRNGKey(2)
+            jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(ua), jnp.asarray(ub),
+            jnp.asarray(wa), jnp.asarray(wb),
+            jnp.asarray(valid), jnp.asarray(self.cfg.cam.K),
+            jax.random.PRNGKey(2),
         )
         if int(n_inl) < MIN_INLIERS:
             return False, None, None, None, int(n_inl)
@@ -160,74 +210,72 @@ class LoopCloser:
 
     def close_loop(self, smap, kf_id: int, cand: int, s, R, t, run_global_ba: bool = True):
         """Essential-graph optimization with the loop constraint; write back
-        corrected poses and landmark positions."""
-        n = smap.n_kf
-        poses = np.asarray(smap.kf_pose[:n])  # Tcw per KF
-        S = np.stack([np.asarray(se3_to_sim3(jnp.asarray(p))) for p in poses])
+        corrected poses and landmark positions. Fully vectorized: edges and
+        landmark corrections are batched array ops (no O(K^2) Python loops)."""
+        kfs = smap.valid_keyframes_by_seq()  # temporal order, recycling-safe
+        n = len(kfs)
+        pos_of = np.full(smap.k_max, -1, np.int64)
+        pos_of[kfs] = np.arange(n)
+        poses = np.asarray(smap.kf_pose)[kfs]  # (n, 4, 4) Tcw
+        S = poses.astype(np.float32)  # SE3 is Sim3 with s=1
 
-        # edges: sequential chain + strong covisibility + loop edge
-        covis = smap.covisibility()
-        ei, ej, meas, w = [], [], [], []
-
-        def add_edge(i, j, S_meas, weight):
-            ei.append(i)
-            ej.append(j)
-            meas.append(S_meas)
-            w.append(weight)
-
-        for i in range(n - 1):
-            add_edge(i, i + 1, S[i + 1] @ np.linalg.inv(S[i]), 1.0)
-        for i in range(n):
-            for j in range(i + 2, n):
-                if covis[i][j] >= 50:
-                    add_edge(i, j, S[j] @ np.linalg.inv(S[i]), 1.0)
-        # loop edge: measured relative Sim3 candidate -> current
+        # edges: sequential chain (in seq order) + strong covisibility + loop
+        S_inv = np.linalg.inv(S)
+        chain_i = np.arange(n - 1)
+        chain_j = chain_i + 1
+        cv = smap.covisibility()[np.ix_(kfs, kfs)]
+        cov_i, cov_j = np.nonzero(np.triu(cv >= 50, k=2))
+        ei = np.concatenate([chain_i, cov_i, [pos_of[cand]]]).astype(np.int32)
+        ej = np.concatenate([chain_j, cov_j, [pos_of[kf_id]]]).astype(np.int32)
         S_loop = np.eye(4, dtype=np.float32)
         S_loop[:3, :3] = s * R
         S_loop[:3, 3] = t
-        add_edge(cand, kf_id, S_loop.astype(np.float32), 5.0)
+        meas = np.concatenate(
+            [
+                S[chain_j] @ S_inv[chain_i],
+                S[cov_j] @ S_inv[cov_i],
+                S_loop[None],
+            ]
+        ).astype(np.float32)
+        w = np.concatenate(
+            [np.ones(len(chain_i) + len(cov_i), np.float32), [5.0]]
+        )
 
         fixed = np.zeros(n, bool)
-        fixed[cand] = True  # the older side anchors the graph
+        fixed[pos_of[cand]] = True  # the older side anchors the graph
 
         S_opt = optimize_pose_graph(
             jnp.asarray(S),
-            jnp.asarray(ei, jnp.int32),
-            jnp.asarray(ej, jnp.int32),
-            jnp.asarray(np.stack(meas), jnp.float32),
-            jnp.asarray(w, jnp.float32),
+            jnp.asarray(ei),
+            jnp.asarray(ej),
+            jnp.asarray(meas),
+            jnp.asarray(w),
             jnp.asarray(fixed),
             iterations=25,
         )
         S_opt_h = np.asarray(S_opt)
 
-        # landmark correction: move each landmark with its reference KF
-        # X' = S_new^-1 * S_old * X  (in that KF's frame)
+        # landmark correction (batched): move each landmark with its
+        # reference KF — X' = S_new^-1 * S_old * X in that KF's frame
         lm_first = smap.lm_first_kf
-        lm_valid = np.asarray(smap.lm_valid)
-        lm_pos = np.array(np.asarray(smap.lm_pos))
-        for k in range(n):
-            sel = np.nonzero(lm_valid & (lm_first == k))[0]
-            if len(sel) == 0:
-                continue
-            old = S[k]
-            new = S_opt_h[k]
-            X = lm_pos[sel]
-            Xh = np.concatenate([X, np.ones((len(sel), 1), np.float32)], axis=1)
-            Xc = (np.linalg.inv(new) @ old @ Xh.T).T[:, :3]
-            lm_pos[sel] = Xc
-        smap.set_landmark_positions(
-            np.nonzero(lm_valid)[0], lm_pos[np.nonzero(lm_valid)[0]]
-        )
+        lm_valid = smap.lm_valid_host()
+        sel = np.nonzero(
+            lm_valid & (lm_first >= 0) & (pos_of[np.maximum(lm_first, 0)] >= 0)
+        )[0]
+        if len(sel):
+            k_pos = pos_of[lm_first[sel]]
+            M = np.linalg.inv(S_opt_h)[k_pos] @ S[k_pos]  # (m, 4, 4)
+            X = np.asarray(smap.lm_pos)[sel]
+            Xc = np.einsum("nij,nj->ni", M[:, :3, :3], X) + M[:, :3, 3]
+            smap.set_landmark_positions(sel, Xc)
 
         # poses: strip scale back to SE3 (scale folds into translation)
-        new_poses = []
-        for k in range(n):
-            T, s_k = sim3_to_se3(jnp.asarray(S_opt_h[k]))
-            T = np.array(T)  # writable copy
-            T[:3, 3] /= float(s_k)  # Sim3 [sR|t] ~ SE3 [R|t/s] as world map
-            new_poses.append(T)
-        smap.set_kf_poses(list(range(n)), np.stack(new_poses))
+        sR = S_opt_h[:, :3, :3]
+        s_k = np.cbrt(np.linalg.det(sR))  # (n,)
+        T_new = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        T_new[:, :3, :3] = sR / s_k[:, None, None]
+        T_new[:, :3, 3] = S_opt_h[:, :3, 3] / s_k[:, None]  # [sR|t] ~ [R|t/s]
+        smap.set_kf_poses(kfs, T_new)
         # full-map refinement after the graph correction (original ORB-SLAM's
         # RunGlobalBundleAdjustment; synchronous here)
         if run_global_ba:
@@ -250,13 +298,13 @@ class LoopCloser:
                 fixed_kfs=(cand,),
             )
         self.n_closures += 1
-        self.last_loop_kf = kf_id
+        self.last_loop_seq = int(smap.kf_seq[kf_id])
         return True
 
     # ---------------- entry ----------------
 
     def attempt(self, smap, kf_id: int) -> bool:
-        if kf_id - self.last_loop_kf < 10:
+        if int(smap.kf_seq[kf_id]) - self.last_loop_seq < 10:
             return False
         for cand in self.detect_candidates(smap, kf_id):
             ok, s, R, t, n_inl = self.compute_sim3(smap, kf_id, cand)

@@ -3,14 +3,17 @@
 The reference declares Relocalization but its body is empty
 (include/Tracking.h:45, SURVEY.md §2.4); original ORB-SLAM relocalizes by
 BoW candidate retrieval + EPnP-RANSAC + pose optimization. TPU-native
-version: candidate keyframes are scored by a full-descriptor matmul match
-(no BoW needed — one MXU matmul per KF batch), then EPnP runs as a vmapped
-hypothesis batch over minimal-set weight masks (the RANSAC wrapper the
-reference's PnPsolver lacked, SURVEY.md §2.1 #11), followed by chi2-gated
-pose optimization.
+version: ONE jitted retrieval program — a global-descriptor matvec over the
+whole keyframe table shortlists candidates (the BoW inverted-file role),
+then a vmapped full-Hamming match scores the shortlist — followed by EPnP
+as a vmapped hypothesis batch over minimal-set weight masks (the RANSAC
+wrapper the reference's PnPsolver lacked, SURVEY.md §2.1 #11) and
+chi2-gated pose optimization.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +25,41 @@ from orbslam_in_practice_tpu.optim.pose_opt import pose_optimization
 
 N_HYP = 64  # RANSAC hypotheses (vmapped batch)
 MIN_SET = 6
+N_CAND = 5  # detailed-match shortlist size
+
+
+@partial(jax.jit, static_argnames=("n_cand",))
+def _retrieve_candidates(
+    frame,
+    kf_xy: jnp.ndarray,
+    kf_angle: jnp.ndarray,
+    kf_desc: jnp.ndarray,
+    kf_feat_valid: jnp.ndarray,
+    kf_obs: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    n_cand: int = N_CAND,
+):
+    """One device program for candidate retrieval: global-descriptor
+    similarity over ALL keyframes -> top-n shortlist -> vmapped detailed
+    Hamming matching. Returns (cand_ids (C,), matches (C, F), counts (C,))."""
+    fv = kf_feat_valid & (kf_obs >= 0)  # landmark-bearing features only
+    g = jnp.sum(kf_desc.astype(jnp.float32) * fv[..., None], axis=1)
+    g = g / jnp.maximum(jnp.sum(fv, axis=1, keepdims=True).astype(jnp.float32), 1.0)
+    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+    gf = jnp.sum(frame.desc_pm1.astype(jnp.float32) * frame.valid[:, None], axis=0)
+    gf = gf / jnp.maximum(jnp.linalg.norm(gf), 1e-9)
+    sims = g @ gf  # (K,)
+    sims = jnp.where(kf_valid & (jnp.sum(fv, axis=1) >= 15), sims, -jnp.inf)
+    _, cand = jax.lax.top_k(sims, n_cand)
+
+    def match_one(k):
+        return search_frame_to_kf(
+            frame, kf_xy[k], kf_angle[k], kf_desc[k], fv[k], nn_ratio=0.75
+        )
+
+    matches = jax.vmap(match_one)(cand)  # (C, F_frame)
+    counts = jnp.sum(matches >= 0, axis=1)
+    return cand, matches, counts
 
 
 @jax.jit
@@ -52,35 +90,31 @@ def _epnp_ransac(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray, K: jnp.nd
 
 
 def relocalize(tracker, frame):
-    """Try to relocalize a lost frame against all keyframes.
+    """Try to relocalize a lost frame against the keyframe database.
 
-    Returns (ok, Tcw (4, 4) np, obs (F,) np int32, n_inliers).
+    Returns (ok, Tcw (4, 4) np, obs (F,) np int32, n_inliers, kf_slot).
     """
     smap = tracker.map
-    best = (None, 0)
-    # candidate scoring: descriptor matches against each KF's landmark features
-    for kf in range(smap.n_kf):
-        if not bool(smap.kf_valid[kf]):
-            continue
-        kf_has_lm = smap.kf_feat_valid[kf] & (smap.kf_obs[kf] >= 0)
-        matches = search_frame_to_kf(
-            frame,
-            smap.kf_xy[kf],
-            smap.kf_angle[kf],
-            smap.kf_desc_pm1[kf],
-            kf_has_lm,
-            nn_ratio=0.75,
-        )
-        n = int((np.asarray(matches) >= 0).sum())
-        if n > best[1]:
-            best = ((kf, matches), n)
-    if best[0] is None or best[1] < 15:
-        return False, None, None, 0
+    if smap.n_kf_active() == 0:
+        return False, None, None, 0, -1
+    cand, matches, counts = _retrieve_candidates(
+        frame,
+        smap.kf_xy,
+        smap.kf_angle,
+        smap.kf_desc_pm1,
+        smap.kf_feat_valid,
+        smap.kf_obs,
+        smap.kf_valid,
+    )
+    cand_h, counts_h = jax.device_get((cand, counts))
+    order = np.argsort(-counts_h)
+    if counts_h[order[0]] < 15:
+        return False, None, None, 0, -1
+    kf = int(cand_h[order[0]])
+    m_h = np.asarray(matches[order[0]])
 
-    (kf, matches), _ = best
-    m_h = np.asarray(matches)
     sel = np.nonzero(m_h >= 0)[0]  # frame feature indices
-    kf_obs_h = np.asarray(smap.kf_obs[kf])
+    kf_obs_h = smap.kf_obs_host()[kf]
     lm_ids = kf_obs_h[m_h[sel]]
 
     # fixed-shape correspondence set for the jitted RANSAC
@@ -97,7 +131,7 @@ def relocalize(tracker, frame):
         tracker.K, jax.random.PRNGKey(1),
     )
     if int(n_inl) < 10:
-        return False, None, None, 0
+        return False, None, None, 0, -1
 
     Tcw0 = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
     obs = np.full(frame.n_features, -1, np.int32)
@@ -112,7 +146,7 @@ def relocalize(tracker, frame):
         Tcw0, Xw, frame.xy, inv_s2, has & frame.valid, tracker.K
     )
     if int(np.asarray(n_in)) < 10:
-        return False, None, None, 0
+        return False, None, None, 0, -1
     inl_h = np.asarray(inlier)
     obs[~inl_h] = -1
-    return True, np.asarray(Tcw), obs, int(np.asarray(n_in))
+    return True, np.asarray(Tcw), obs, int(np.asarray(n_in)), kf

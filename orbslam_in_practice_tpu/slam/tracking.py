@@ -144,7 +144,7 @@ class Tracking:
                 ok = self._track_frame(frame, try_motion=False)
             pose = self.last_pose if ok else None
             if pose is None:
-                self.trajectory.append((self.frame_id, timestamp, None, -1, None))
+                self.trajectory.append((self.frame_id, timestamp, None, -1, None, -1))
                 return None
             return self._log_pose(pose, timestamp)
 
@@ -169,7 +169,7 @@ class Tracking:
             pose = self.last_pose if ok else None
 
         if pose is None:
-            self.trajectory.append((self.frame_id, timestamp, None, -1, None))
+            self.trajectory.append((self.frame_id, timestamp, None, -1, None, -1))
             return None
         return self._log_pose(pose, timestamp)
 
@@ -179,9 +179,13 @@ class Tracking:
         if ref >= 0:
             T_ref = np.asarray(self.map.kf_pose[ref])
             T_rel = pose_np @ np.linalg.inv(T_ref)
+            ref_seq = int(self.map.kf_seq[ref])
         else:
             T_rel = None
-        self.trajectory.append((self.frame_id, timestamp, pose_np, ref, T_rel))
+            ref_seq = -1
+        self.trajectory.append(
+            (self.frame_id, timestamp, pose_np, ref, T_rel, ref_seq)
+        )
         return pose_np
 
     # ------------------------------------------------------------------
@@ -630,19 +634,42 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame) -> bool:
-        """Keyframe decision (absent in ref :140-141; ORB-SLAM criteria)."""
-        if self.map.n_kf >= self.cfg.k_max - 2:
-            return False
+        """Keyframe decision (absent in ref :140-141; ORB-SLAM criteria).
+
+        The fixed-shape table never blocks insertion: when full, the
+        weakest-connected old keyframe is evicted in _insert_keyframe
+        (slot recycling — SURVEY.md §7.1's free-list design)."""
         frames_since_kf = self.frame_id - self.last_kf_frame_id
         if frames_since_kf < 1:
             return False
-        # reference-KF tracked points at same or finer scale
-        ref_tracked = int((self.map.kf_obs_host()[self.ref_kf] >= 0).sum())
-        weak = self.n_inliers < 0.9 * max(ref_tracked, 1)
+        # reference tracked count = ref-KF landmarks with >= 3 observations
+        # (ORB-SLAM's TrackedMapPoints(minObs) — comparing against ALL ref
+        # observations made the 0.9 ratio fire nearly every frame and
+        # over-insert ~1 KF per 3 frames, churning the keyframe table)
+        ref_obs = self.map.kf_obs_host()[self.ref_kf]
+        seen = ref_obs[ref_obs >= 0]
+        ref_tracked = (
+            int((self.map.lm_obs_count[seen] >= 3).sum()) if len(seen) else 0
+        )
+        ratio = self.n_inliers / max(ref_tracked, 1)
         long_gap = frames_since_kf >= max(2, int(self.cfg.fps))
-        return (weak or long_gap) and self.n_inliers >= 30
+        weak = ratio < 0.9 and frames_since_kf >= 3  # c2 && min-gap
+        very_weak = ratio < 0.4  # losing the reference fast: insert now
+        return (weak or very_weak or long_gap) and self.n_inliers >= 30
 
     def _insert_keyframe(self, frame):
+        if self.map.keyframe_capacity() < 1:
+            # protect the working set: current ref KF + its top covisible
+            # neighbors + the global gauge (earliest keyframe by seq)
+            protect = {self.ref_kf}
+            covis = self.map.covisibility()
+            if self.ref_kf >= 0 and self.ref_kf < covis.shape[0]:
+                nb = np.argsort(-covis[self.ref_kf])[: self.cfg.local_window]
+                protect |= {int(j) for j in nb if covis[self.ref_kf][j] > 0}
+            by_seq = self.map.valid_keyframes_by_seq()
+            if len(by_seq):
+                protect.add(int(by_seq[0]))
+            self.map.evict_keyframe(np.asarray(sorted(protect)))
         kf_id = self.map.add_keyframe(
             frame, jnp.asarray(self.last_pose), self.last_obs, self.frame_id
         )
@@ -658,7 +685,7 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame) -> bool:
-        ok, Tcw, obs, n_in = relocalize(self, frame)
+        ok, Tcw, obs, n_in, kf = relocalize(self, frame)
         if not ok:
             return False
         self._prev_pose = jnp.asarray(Tcw)
@@ -667,6 +694,7 @@ class Tracking:
         self.last_frame = frame
         self.n_inliers = n_in
         self.velocity = None
+        self.ref_kf = kf  # re-anchor to the keyframe we relocalized against
         self.last_reloc_frame_id = self.frame_id
         self.state = TrackingState.OK
         return True
@@ -679,11 +707,21 @@ def materialize_trajectory(tracker) -> list:
     out = []
     kf_valid = np.asarray(tracker.map.kf_valid)
     kf_pose = np.asarray(tracker.map.kf_pose)
+    kf_seq = tracker.map.kf_seq
     for entry in tracker.trajectory:
-        frame_id, ts, pose, ref, T_rel = entry
+        frame_id, ts, pose, ref, T_rel, ref_seq = entry
+        # a recycled ref slot (seq mismatch) means the anchor keyframe was
+        # removed and the slot reused by a different keyframe — fall back to
+        # the absolute pose recorded at track time
+        anchored = (
+            ref >= 0
+            and T_rel is not None
+            and kf_valid[ref]
+            and kf_seq[ref] == ref_seq
+        )
         if pose is None:
             out.append((frame_id, ts, None))
-        elif ref >= 0 and T_rel is not None and kf_valid[ref]:
+        elif anchored:
             out.append((frame_id, ts, T_rel @ kf_pose[ref]))
         else:
             out.append((frame_id, ts, pose))

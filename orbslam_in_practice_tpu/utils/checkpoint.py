@@ -2,6 +2,8 @@
 
 The array-of-slots map serializes trivially to a single npz; orbax is
 unnecessary for a flat dict of arrays, and npz keeps the checkpoint portable.
+Free lists are reconstructed from the validity masks on load (an invalid
+slot below the high-water mark is by definition recyclable).
 """
 
 from __future__ import annotations
@@ -27,8 +29,16 @@ _ARRAY_FIELDS = [
     "lm_max_dist",
     "lm_octave",
 ]
-_HOST_FIELDS = ["kf_frame_id", "lm_first_kf", "lm_obs_count", "lm_found_count", "lm_visible_count"]
-_SCALARS = ["n_kf", "n_lm", "next_kf_id"]
+_HOST_FIELDS = [
+    "kf_frame_id",
+    "kf_seq",
+    "lm_first_kf",
+    "lm_uid",
+    "lm_obs_count",
+    "lm_found_count",
+    "lm_visible_count",
+]
+_SCALARS = ["n_kf", "n_lm", "next_kf_id", "_next_lm_uid"]
 
 
 def save_map(path: str, smap):
@@ -43,7 +53,15 @@ def load_map(path: str, smap):
     for f in _ARRAY_FIELDS:
         setattr(smap, f, jnp.asarray(data[f]))
     for f in _HOST_FIELDS:
-        setattr(smap, f, data[f].copy())
+        if f in data:
+            setattr(smap, f, data[f].copy())
     for f in _SCALARS:
-        setattr(smap, f, int(data[f]))
+        if f in data:
+            setattr(smap, f, int(data[f]))
+    # rebuild free lists: invalid slots below the high-water marks
+    kf_valid = np.asarray(smap.kf_valid)
+    lm_valid = np.asarray(smap.lm_valid)
+    smap._kf_free = [int(k) for k in np.nonzero(~kf_valid[: smap.n_kf])[0]]
+    smap._lm_free = [int(i) for i in np.nonzero(~lm_valid[: smap.n_lm])[0]]
+    smap._lm_free_pending = []
     smap._invalidate_caches()

@@ -90,3 +90,37 @@ def test_e2e_fused_matches_unfused(seq):
             assert len(sys.tracker._fused_cache) == 1
     assert results[True] < 0.05
     assert results[False] < 0.05
+
+
+def test_e2e_lost_and_relocalize(seq):
+    """Kidnapped camera: track, blind the camera until LOST, resume a
+    previously seen view, and require recovery (state OK, pose matching the
+    earlier estimate in the map's own frame). The reference DECLARED this
+    capability but left it empty (include/Tracking.h:45)."""
+    sys = SlamSystem(small_config())
+    poses = {}
+    for i in range(28):
+        p = sys.track_monocular(seq.render(i), i * 0.1)
+        if p is not None:
+            poses[i] = p
+    assert sys.state == TrackingState.OK
+    assert 20 in poses
+
+    blank = np.zeros((480, 640), np.float32)
+    for k in range(3):
+        sys.track_monocular(blank, 3.0 + 0.1 * k)
+    assert sys.state == TrackingState.LOST
+
+    # resume with a view from the mapped region
+    p = sys.track_monocular(seq.render(20), 4.0)
+    assert sys.state == TrackingState.OK, "relocalization must recover"
+    assert p is not None
+    # same image as frame 20 -> the recovered pose must match the earlier
+    # estimate (same map, same gauge; the map keeps refining between the two
+    # visits, so allow a few percent of the ~1.1-unit trajectory extent)
+    assert np.allclose(p[:3, 3], poses[20][:3, 3], atol=0.06), (
+        p[:3, 3], poses[20][:3, 3])
+    assert np.allclose(p[:3, :3], poses[20][:3, :3], atol=0.05)
+    # and tracking must CONTINUE normally after recovery
+    p2 = sys.track_monocular(seq.render(21), 4.1)
+    assert p2 is not None and sys.state == TrackingState.OK

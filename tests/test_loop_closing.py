@@ -11,15 +11,40 @@ from orbslam_in_practice_tpu.slam.map import SlamMap
 
 
 def test_sim3_ransac_with_outliers(rng):
+    """Pixel-gated Sim3 RANSAC: points live in two camera frames (positive
+    depth); observed pixels are the projections of the (possibly corrupted)
+    camera-frame points, mirroring compute_sim3's inputs."""
     n = 128
-    pa = rng.normal(size=(n, 3)).astype(np.float32) * 2
-    R = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(size=3) * 0.4, dtype=jnp.float32)))
+    K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], np.float32)
+    pa = np.stack(
+        [
+            rng.uniform(-2, 2, n),
+            rng.uniform(-1.5, 1.5, n),
+            rng.uniform(3, 9, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    R = np.asarray(se3.exp_so3(jnp.asarray([0.05, 0.2, -0.1], dtype=jnp.float32)))
     s_true, t_true = 1.3, np.array([0.5, -0.2, 0.8], np.float32)
     pb = s_true * pa @ R.T + t_true
-    pb[:20] += rng.uniform(2, 5, (20, 3)).astype(np.float32)  # outliers
+    pb[:20] += rng.uniform(1, 3, (20, 3)).astype(np.float32)  # outliers
+
+    def project(p):
+        z = np.maximum(p[:, 2], 1e-6)
+        return np.stack(
+            [K[0, 0] * p[:, 0] / z + K[0, 2], K[1, 1] * p[:, 1] / z + K[1, 2]],
+            axis=-1,
+        ).astype(np.float32)
+
+    uv_a = project(pa)
+    uv_b = project(pb)
+    ones = np.ones(n, np.float32)
     valid = np.ones(n, bool)
     s, R_est, t_est, inl, n_inl = _sim3_ransac(
-        jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid), jax.random.PRNGKey(0)
+        jnp.asarray(pa), jnp.asarray(pb),
+        jnp.asarray(uv_a), jnp.asarray(uv_b),
+        jnp.asarray(ones), jnp.asarray(ones),
+        jnp.asarray(valid), jnp.asarray(K), jax.random.PRNGKey(0),
     )
     assert int(n_inl) >= 100
     assert abs(float(s) - s_true) < 0.02

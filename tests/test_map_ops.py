@@ -92,3 +92,111 @@ def test_pseudo_frame_matches_stored(rng):
     assert pf.n_features == smap.f_max
     assert np.allclose(np.asarray(pf.xy), np.asarray(smap.kf_xy[k]))
     assert np.array_equal(np.asarray(pf.desc_pm1), np.asarray(smap.kf_desc_pm1[k]))
+
+
+# ---------------- slot recycling (fixed-shape long-sequence viability) ----
+
+
+def _add_landmarks(smap, ids):
+    n = len(ids)
+    smap.add_landmarks(
+        ids,
+        np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32),
+        np.zeros((n, 256), np.int8),
+        np.zeros((n, 3), np.float32),
+        np.zeros(n, np.int32),
+        np.zeros(n, np.float32),
+        np.full(n, np.inf, np.float32),
+        first_kf=0,
+    )
+
+
+def test_landmark_slot_recycling_with_quarantine(rng):
+    smap = make_map()
+    ids = smap.allocate_landmarks(4)
+    _add_landmarks(smap, ids)
+    uids_before = smap.lm_uid[ids].copy()
+    assert (uids_before >= 0).all()
+
+    smap.erase_landmarks(ids[:2])
+    # freed slots are quarantined: not allocatable until the next keyframe
+    nxt = smap.allocate_landmarks(2)
+    assert not set(nxt) & set(ids[:2].tolist())
+    # a keyframe insertion opens the new epoch -> slots recycle
+    obs = np.full(64, -1)
+    add_kf(smap, rng, obs)
+    rec = smap.allocate_landmarks(2)
+    assert set(rec) == set(ids[:2].tolist())
+    # recycled slots carry fresh generation uids
+    assert (smap.lm_uid[rec] != uids_before[:2]).all()
+
+
+def test_double_free_is_idempotent(rng):
+    smap = make_map()
+    ids = smap.allocate_landmarks(2)
+    _add_landmarks(smap, ids)
+    smap.erase_landmarks(ids)
+    smap.erase_landmarks(ids)  # second free must be a no-op
+    obs = np.full(64, -1)
+    add_kf(smap, rng, obs)
+    got = smap.allocate_landmarks(4)
+    assert len(np.unique(got)) == len(got)  # no slot handed out twice
+
+
+def test_orphan_landmark_gc(rng):
+    smap = make_map()
+    ids = smap.allocate_landmarks(1)
+    _add_landmarks(smap, ids)
+    obs = np.full(64, -1)
+    obs[3] = ids[0]
+    k = add_kf(smap, rng, obs)
+    assert smap.lm_obs_count[ids[0]] == 1
+    smap.scrub_observations(np.array([k]), np.array([3]))
+    # last observation gone -> landmark collected
+    assert not bool(smap.lm_valid[ids[0]])
+    assert smap.lm_obs_count[ids[0]] == 0
+
+
+def test_keyframe_slot_recycling_and_seq_order(rng):
+    smap = make_map()  # k_max = 8
+    obs = np.full(64, -1)
+    kfs = [add_kf(smap, rng, obs) for _ in range(8)]
+    assert smap.keyframe_capacity() == 0
+    smap.remove_keyframe(kfs[2])
+    assert smap.keyframe_capacity() == 1
+    k_new = add_kf(smap, rng, obs)
+    assert k_new == kfs[2]  # slot recycled
+    # insertion order survives recycling: the reused slot is YOUNGEST
+    order = smap.valid_keyframes_by_seq()
+    assert order[-1] == k_new
+    assert smap.kf_seq[k_new] == 8  # monotonic ids (ref src/KeyFrame.cpp:5)
+
+
+def test_eviction_prefers_weakly_connected_old(rng):
+    smap = make_map()
+    lm_a = smap.allocate_landmarks(20)
+    _add_landmarks(smap, lm_a)
+    # kf0 shares landmarks with kf1/kf2 (strong); kf3 sees nothing shared
+    obs_shared = np.full(64, -1)
+    obs_shared[:20] = lm_a
+    k0 = add_kf(smap, rng, obs_shared)
+    k1 = add_kf(smap, rng, obs_shared)
+    k2 = add_kf(smap, rng, obs_shared)
+    k3 = add_kf(smap, rng, np.full(64, -1))
+    victim = smap.evict_keyframe(protect=np.array([k2]))
+    assert victim == k3  # zero connection to the working set, evicted first
+    assert not bool(smap.kf_valid[k3])
+
+
+def test_remove_keyframe_reanchors_first_kf(rng):
+    smap = make_map()
+    ids = smap.allocate_landmarks(2)
+    _add_landmarks(smap, ids)
+    obs = np.full(64, -1)
+    obs[:2] = ids
+    k0 = add_kf(smap, rng, obs)
+    k1 = add_kf(smap, rng, obs)
+    smap.lm_first_kf[ids] = k0
+    smap.remove_keyframe(k0)
+    # landmarks still observed by k1 -> re-anchored there
+    assert (smap.lm_first_kf[ids] == k1).all()
