@@ -642,20 +642,30 @@ class Tracking:
         frames_since_kf = self.frame_id - self.last_kf_frame_id
         if frames_since_kf < 1:
             return False
-        # reference tracked count = ref-KF landmarks with >= 3 observations
-        # (ORB-SLAM's TrackedMapPoints(minObs) — comparing against ALL ref
-        # observations made the 0.9 ratio fire nearly every frame and
-        # over-insert ~1 KF per 3 frames, churning the keyframe table)
+        # no insertion right after relocalization (ORB-SLAM's mMaxFrames guard)
+        if (
+            self.last_reloc_frame_id >= 0
+            and self.frame_id < self.last_reloc_frame_id + int(self.cfg.fps)
+            and self.map.n_kf_active() > int(self.cfg.fps)
+        ):
+            return False
+        # reference tracked count = ref-KF landmarks with >= minObs
+        # observations (ORB-SLAM's TrackedMapPoints). minObs adapts to map
+        # age: right after two-view init every landmark has exactly 2
+        # observations, so a flat minObs=3 makes ref_tracked 0 and the 0.9
+        # ratio can never fire — tracking then starves for fps frames.
+        min_obs = 3 if self.map.n_kf_active() > 2 else 2
         ref_obs = self.map.kf_obs_host()[self.ref_kf]
         seen = ref_obs[ref_obs >= 0]
         ref_tracked = (
-            int((self.map.lm_obs_count[seen] >= 3).sum()) if len(seen) else 0
+            int((self.map.lm_obs_count[seen] >= min_obs).sum()) if len(seen) else 0
         )
-        ratio = self.n_inliers / max(ref_tracked, 1)
+        # ORB-SLAM mono decision: c2 (inliers < 0.9*refTracked, > 15) gates
+        # everything; our mapper runs synchronously so "mapping idle" (c1b's
+        # min-gap 0) always holds. long_gap kept as the c1a fallback.
+        c2 = self.n_inliers < 0.9 * ref_tracked and self.n_inliers > 15
         long_gap = frames_since_kf >= max(2, int(self.cfg.fps))
-        weak = ratio < 0.9 and frames_since_kf >= 3  # c2 && min-gap
-        very_weak = ratio < 0.4  # losing the reference fast: insert now
-        return (weak or very_weak or long_gap) and self.n_inliers >= 30
+        return c2 or (long_gap and self.n_inliers >= 30)
 
     def _insert_keyframe(self, frame):
         if self.map.keyframe_capacity() < 1:
