@@ -72,12 +72,21 @@ class SyntheticSequence:
         orbit_step: float | None = None,
         noise_sigma: float = 0.0,
         brightness_jitter: float = 0.0,
+        texture: float = 0.45,
     ):
         rng = np.random.default_rng(seed)
         self.width, self.height = width, height
         self.seed = seed
         self.noise_sigma = noise_sigma
         self.brightness_jitter = brightness_jitter
+        # per-blob painted texture amplitude. Flat uniform blobs are
+        # adversarial for BRIEF: ~half the 256 point pairs then compare two
+        # EQUAL-intensity pixels (zero margin), so any sensor noise makes
+        # those bits coin flips (measured: Hamming ~75/256 between two
+        # noisy renders of the SAME view). Real surfaces have texture;
+        # a deterministic sinusoidal pattern painted on each blob restores
+        # realistic nonzero BRIEF margins.
+        self.texture = texture
         self.K = np.array(
             [[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32
         )
@@ -98,35 +107,159 @@ class SyntheticSequence:
             axis=-1,
         ).astype(np.float32)
         self.intensity = rng.uniform(90, 250, n_points).astype(np.float32)
-        self.size_m = rng.uniform(0.02, 0.06, n_points).astype(np.float32)
+        # quad half-extents in meters — large enough that a 31x31 BRIEF
+        # patch at typical depth lands ON the textured surface, not on
+        # flat background (tiny flat dots make ~half the BRIEF pairs
+        # zero-margin -> coin flips under sensor noise)
+        self.size_m = rng.uniform(0.06, 0.30, n_points).astype(np.float32)
         self.background = 25.0
+        # per-quad texture: spatial frequency (in quad-local units) + phase,
+        # painted on the surface (world-anchored, rotation-consistent)
+        self.tex_f = rng.uniform(2.0, 5.0, (n_points, 2)).astype(np.float32)
+        self.tex_p = rng.uniform(0, 2 * np.pi, (n_points, 2)).astype(np.float32)
+        # quad orientation: normal roughly facing the trajectory (so quads
+        # are observable along the run) with a random tilt; in-plane axes
+        # complete the frame. All world-anchored: a texture corner is a
+        # genuine static 3D point, consistent under camera rotation.
+        to_cam = centers_w.mean(axis=0)[None, :] - self.pts
+        to_cam = to_cam / np.maximum(
+            np.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9
+        )
+        tilt = rng.normal(0.0, 0.25, (n_points, 3)).astype(np.float32)
+        n = to_cam + tilt
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        up = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (n_points, 1))
+        # avoid degenerate cross products when n ~ up
+        swap = np.abs((n * up).sum(-1)) > 0.95
+        up[swap] = np.array([1.0, 0.0, 0.0], np.float32)
+        e1 = np.cross(up, n)
+        e1 = e1 / np.maximum(np.linalg.norm(e1, axis=-1, keepdims=True), 1e-9)
+        e2 = np.cross(n, e1)
+        self.quad_n = n.astype(np.float32)
+        self.quad_e1 = e1.astype(np.float32)
+        self.quad_e2 = e2.astype(np.float32)
 
     def gt_centers(self) -> np.ndarray:
         """(T, 3) ground-truth camera centers (world)."""
         return np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in self.poses])
 
-    def render(self, i: int) -> np.ndarray:
-        """(H, W) float32 grayscale frame i."""
+    def backproject(self, i: int, xy: np.ndarray) -> tuple:
+        """Exact ground-truth 3D world points for pixel coordinates in frame
+        i: ray-cast each pixel against the rendered depth buffer. Returns
+        (points_w (N,3), valid (N,)) — invalid where the pixel hits
+        background or straddles a depth discontinuity (quad boundary)."""
+        _, zbuf = self.render(i, return_depth=True)
         T = self.poses[i]
-        pc = self.pts @ T[:3, :3].T + T[:3, 3]
-        z = pc[:, 2]
-        vis = z > 0.5
-        img = np.full((self.height, self.width), self.background, np.float32)
-        u = self.K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + self.K[0, 2]
-        v = self.K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + self.K[1, 2]
-        half = np.maximum(
-            (self.K[0, 0] * self.size_m / np.maximum(z, 1e-6)).astype(np.int32), 1
+        xy = np.asarray(xy, np.float32)
+        xi = np.clip(np.round(xy[:, 0]).astype(np.int64), 0, self.width - 1)
+        yi = np.clip(np.round(xy[:, 1]).astype(np.int64), 0, self.height - 1)
+        # depth-consistency gate: 3x3 neighborhood must be one surface
+        zpad = np.pad(zbuf, 1, constant_values=np.inf)
+        neigh = np.stack(
+            [
+                zpad[yi + dy, xi + dx]
+                for dy in (0, 1, 2)
+                for dx in (0, 1, 2)
+            ]
         )
-        order = np.argsort(-z)  # far first, near overwrites
-        for j in order:
-            if not vis[j]:
+        z = zbuf[yi, xi]
+        flat = np.isfinite(neigh).all(axis=0) & (
+            (neigh.max(axis=0) - neigh.min(axis=0)) < 0.02 * np.maximum(z, 1e-6)
+        )
+        valid = np.isfinite(z) & flat
+        zs = np.where(valid, z, 1.0)
+        rays = np.stack(
+            [
+                (xy[:, 0] - self.K[0, 2]) / self.K[0, 0],
+                (xy[:, 1] - self.K[1, 2]) / self.K[1, 1],
+                np.ones(len(xy), np.float32),
+            ],
+            axis=-1,
+        )
+        X_c = rays * zs[:, None]
+        X_w = (X_c - T[:3, 3]) @ T[:3, :3]
+        return X_w.astype(np.float32), valid
+
+    def render(self, i: int, return_depth: bool = False):
+        """(H, W) float32 grayscale frame i.
+
+        Z-buffered rasterization of world-anchored textured planar quads:
+        for each quad, pixels in its projected bounding box are ray-cast
+        against the quad's plane and shaded with a sinusoidal texture in
+        quad-local coordinates. Every texture feature is therefore a real
+        static 3D point — geometrically consistent under arbitrary camera
+        rotation (unlike image-axis-aligned billboards)."""
+        T = self.poses[i]
+        R, t = T[:3, :3], T[:3, 3]
+        P_c = self.pts @ R.T + t  # quad centers, camera frame
+        n_c = self.quad_n @ R.T
+        e1_c = self.quad_e1 @ R.T
+        e2_c = self.quad_e2 @ R.T
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        img = np.full((self.height, self.width), self.background, np.float32)
+        zbuf = np.full((self.height, self.width), np.inf, np.float32)
+        # 4 corners of each quad in camera frame: (N, 4, 3)
+        s = self.size_m[:, None]
+        corners = (
+            P_c[:, None, :]
+            + np.stack(
+                [
+                    s * e1_c + s * e2_c,
+                    s * e1_c - s * e2_c,
+                    -s * e1_c + s * e2_c,
+                    -s * e1_c - s * e2_c,
+                ],
+                axis=1,
+            )
+        )
+        cz = corners[..., 2]
+        vis = cz.max(axis=1) > 0.3  # at least one corner in front
+        uc = fx * corners[..., 0] / np.maximum(cz, 0.1) + cx
+        vc = fy * corners[..., 1] / np.maximum(cz, 0.1) + cy
+        for j in np.nonzero(vis)[0]:
+            if cz[j].min() <= 0.3:
+                continue  # quad straddles the near plane; skip (rare)
+            x0 = max(int(np.floor(uc[j].min())), 0)
+            x1 = min(int(np.ceil(uc[j].max())) + 1, self.width)
+            y0 = max(int(np.floor(vc[j].min())), 0)
+            y1 = min(int(np.ceil(vc[j].max())) + 1, self.height)
+            if x0 >= x1 or y0 >= y1:
                 continue
-            uj, vj, h = int(round(u[j])), int(round(v[j])), int(half[j])
-            if uj + h < 0 or uj - h >= self.width or vj + h < 0 or vj - h >= self.height:
+            rx = (np.arange(x0, x1, dtype=np.float32) - cx) / fx
+            ry = (np.arange(y0, y1, dtype=np.float32) - cy) / fy
+            # ray (rx, ry, 1) . n  and plane offset P.n -> depth along ray
+            denom = rx[None, :] * n_c[j, 0] + ry[:, None] * n_c[j, 1] + n_c[j, 2]
+            pn = float(P_c[j] @ n_c[j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tz = pn / denom  # hit depth (z of intersection)
+            Xx = tz * rx[None, :] - P_c[j, 0]
+            Xy = tz * ry[:, None] - P_c[j, 1]
+            Xz = tz - P_c[j, 2]
+            a = (Xx * e1_c[j, 0] + Xy * e1_c[j, 1] + Xz * e1_c[j, 2]) / self.size_m[j]
+            b = (Xx * e2_c[j, 0] + Xy * e2_c[j, 1] + Xz * e2_c[j, 2]) / self.size_m[j]
+            zwin = zbuf[y0:y1, x0:x1]
+            hit = (
+                (np.abs(a) <= 1.0)
+                & (np.abs(b) <= 1.0)
+                & (tz > 0.3)
+                & (tz < zwin)
+                & np.isfinite(tz)
+            )
+            if not hit.any():
                 continue
-            y0, y1 = max(vj - h, 0), min(vj + h + 1, self.height)
-            x0, x1 = max(uj - h, 0), min(uj + h + 1, self.width)
-            img[y0:y1, x0:x1] = self.intensity[j]
+            if self.texture > 0.0:
+                pat = np.sin(
+                    self.tex_f[j, 0] * a * np.pi + self.tex_p[j, 0]
+                ) * np.sin(self.tex_f[j, 1] * b * np.pi + self.tex_p[j, 1])
+                shade = self.intensity[j] * (
+                    1.0 - self.texture * (0.5 + 0.5 * pat)
+                )
+            else:
+                shade = np.full(hit.shape, self.intensity[j], np.float32)
+            win = img[y0:y1, x0:x1]
+            win[hit] = shade[hit] if self.texture > 0.0 else self.intensity[j]
+            zwin[hit] = tz[hit]
         if self.brightness_jitter > 0.0 or self.noise_sigma > 0.0:
             # deterministic per-frame degradation (real-data-shaped: sensor
             # noise + exposure changes; VERDICT round 1 item 7)
@@ -141,4 +274,6 @@ class SyntheticSequence:
                     0.0, self.noise_sigma, img.shape
                 ).astype(np.float32)
             img = np.clip(img, 0.0, 255.0)
+        if return_depth:
+            return img, zbuf
         return img

@@ -45,6 +45,10 @@ def test_e2e_kitti_resolution():
         fps=10.0,
         k_max=48,
         l_max=8192,
+        # wide-depth low-parallax regime: a 10-KF local-BA window spans
+        # enough baseline to pin down 5-20m structure (ORB-SLAM's local BA
+        # similarly takes ALL first-order covisible keyframes)
+        local_window=10,
     )
     sys = SlamSystem(cfg)
     n_tracked = 0
@@ -56,4 +60,4 @@ def test_e2e_kitti_resolution():
     assert n_tracked > seq.n_frames // 2
     rmse, n_aligned, cov = ate_rmse(sys.get_trajectory(), seq.gt_centers())
     assert n_aligned > seq.n_frames // 2
-    assert rmse < 0.1, rmse
+    assert rmse < 0.08, rmse
