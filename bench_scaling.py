@@ -61,6 +61,33 @@ def make_problem(rng, n_cams=32, n_pts=8192, obs_per_pt=6):
     )
 
 
+def measure_allreduce_payload(prob, mesh, iterations=10) -> int:
+    """MEASURED per-iteration all-reduce payload: lower + compile the
+    distributed-BA step and sum the byte sizes of every all-reduce result
+    in the optimized HLO. The LM loop is a single while body in HLO, so the
+    sum is the payload of ONE iteration (setup psums are counted too but are
+    the same collectives). This replaces the analytic formula with what XLA
+    actually emits."""
+    import re
+
+    import jax
+
+    from orbslam_in_practice_tpu.parallel.dist_ba import make_dist_ba
+
+    step = make_dist_ba(mesh, iterations=iterations)
+    txt = jax.jit(step).lower(prob).compile().as_text()
+    dt_bytes = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "bf16": 2, "pred": 1}
+    total = 0
+    for m in re.finditer(r"(\w+)\[([0-9,]*)\][^=\n]*\ball-reduce", txt):
+        dt = m.group(1)
+        dims = [int(x) for x in m.group(2).split(",") if x]
+        n = 1
+        for d in dims:
+            n *= d
+        total += n * dt_bytes.get(dt, 4)
+    return total
+
+
 def main():
     import jax
 
@@ -95,18 +122,51 @@ def main():
             best = min(best, time.perf_counter() - t0)
         if t1 is None:
             t1 = best
-        # analytic per-iteration psum payload vs local compute
-        n_cams = len(poses)
-        psum_bytes = (n_cams * n_cams * 36 + n_cams * 36 + n_cams * 6 + 2) * 4
+        # MEASURED per-iteration all-reduce payload from the compiled HLO
+        psum_bytes = measure_allreduce_payload(prob, mesh, iterations=10)
         local_obs = len(obs_cam) / n
-        local_flops = local_obs * 2500  # jac+blocks+outer products per obs
         results[n] = {
             "time_s": round(best, 4),
             "wallclock_ratio_vs_1shard": round(t1 / best, 3),
-            "psum_bytes_per_iter": int(psum_bytes),
+            "allreduce_bytes_per_iter_measured": int(psum_bytes),
             "local_obs_per_shard": int(local_obs),
         }
         print(json.dumps({"shards": n, **results[n]}))
+
+    # 2-host efficiency model from MEASURED quantities:
+    #   eff = t_comp / (t_comp + t_comm)
+    # t_comp: measured per-iteration time of a HALF-observation single-shard
+    # problem on this backend (= one host's local work at 2-way sharding);
+    # t_comm: measured all-reduce payload / link bandwidth (ICI within a
+    # slice; DCN across hosts; ring all-reduce moves ~2x payload over the
+    # slowest link).
+    half = len(obs_cam) // 2
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("d",))
+    prob_half = partition_ba_problem(
+        poses, pts, obs_cam[:half], obs_point[:half], obs_uv[:half],
+        np.ones(half, np.float32), fixed, K, n_shards=1,
+    )
+    out = dist_bundle_adjustment(prob_half, mesh1, iterations=10)
+    jax.block_until_ready(out)
+    best_h = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = dist_bundle_adjustment(prob_half, mesh1, iterations=10)
+        jax.block_until_ready(out)
+        best_h = min(best_h, time.perf_counter() - t0)
+    t_comp_iter = best_h / 10.0
+    payload = measure_allreduce_payload(prob_half, mesh1, iterations=10)
+    for name, bw in (("ici_45GBps", 45e9), ("dcn_25GBps", 25e9), ("dcn_6.25GBps", 6.25e9)):
+        t_comm = 2.0 * payload / bw  # ring all-reduce ~2x payload
+        eff = t_comp_iter / (t_comp_iter + t_comm)
+        print(json.dumps({
+            "model": "2-host efficiency",
+            "link": name,
+            "t_comp_iter_ms_measured": round(t_comp_iter * 1e3, 3),
+            "allreduce_bytes_measured": int(payload),
+            "t_comm_iter_ms": round(t_comm * 1e3, 3),
+            "efficiency": round(eff, 4),
+        }))
     return results
 
 

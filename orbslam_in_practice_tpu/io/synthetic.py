@@ -163,9 +163,14 @@ class SyntheticSequence:
             ]
         )
         z = zbuf[yi, xi]
-        flat = np.isfinite(neigh).all(axis=0) & (
-            (neigh.max(axis=0) - neigh.min(axis=0)) < 0.02 * np.maximum(z, 1e-6)
-        )
+        finite = np.isfinite(neigh).all(axis=0)
+        spread_ok = np.zeros(len(xy), bool)
+        if finite.any():
+            nf = neigh[:, finite]
+            spread_ok[finite] = (nf.max(axis=0) - nf.min(axis=0)) < (
+                0.02 * np.maximum(z[finite], 1e-6)
+            )
+        flat = finite & spread_ok
         valid = np.isfinite(z) & flat
         zs = np.where(valid, z, 1.0)
         rays = np.stack(
