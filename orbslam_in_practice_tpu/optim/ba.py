@@ -256,6 +256,30 @@ def schur_solve(Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam):
     return delta_c, delta_p
 
 
+def lm_iteration(poses, points, lam, prob: BAProblem, use_huber_arr):
+    """ONE Levenberg-Marquardt iteration: assemble, Schur-solve, gated
+    update. Exposed as a standalone function so tools/bench_ba.py can
+    cost-analyze exactly one iteration (XLA cost analysis counts a lax loop
+    body once regardless of trip count). Returns (poses, points, lam)."""
+    dtype = poses.dtype
+    Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, w_g = build_normal_equations(
+        poses, points, prob, use_huber_arr
+    )
+    delta_c, delta_p = schur_solve(
+        Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, prob.fixed_cam, lam
+    )
+    free = (~prob.fixed_cam)[:, None].astype(dtype)
+    poses_new = exp_se3(delta_c * free) @ poses
+    points_new = points + delta_p
+    cost_old = _total_cost(poses, points, prob, use_huber_arr)
+    cost_new = _total_cost(poses_new, points_new, prob, use_huber_arr)
+    ok = jnp.isfinite(cost_new) & (cost_new < cost_old)
+    poses = jnp.where(ok, poses_new, poses)
+    points = jnp.where(ok, points_new, points)
+    lam = jnp.where(ok, lam * 0.5, lam * 4.0)
+    return poses, points, lam
+
+
 @partial(jax.jit, static_argnames=("iterations", "use_huber"))
 def bundle_adjustment(prob: BAProblem, iterations: int = 20, use_huber: bool = True):
     """Full/local BA with LM + Schur. Returns (poses, points, final_chi2_per_obs).
@@ -267,26 +291,11 @@ def bundle_adjustment(prob: BAProblem, iterations: int = 20, use_huber: bool = T
     use_huber_arr = jnp.asarray(use_huber)
 
     def body(_, state):
-        poses, points, lam, _ = state
-        Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, w_g = build_normal_equations(
-            poses, points, prob, use_huber_arr
-        )
-        delta_c, delta_p = schur_solve(
-            Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, prob.fixed_cam, lam
-        )
-        free = (~prob.fixed_cam)[:, None].astype(dtype)
-        poses_new = exp_se3(delta_c * free) @ poses
-        points_new = points + delta_p
-        cost_old = _total_cost(poses, points, prob, use_huber_arr)
-        cost_new = _total_cost(poses_new, points_new, prob, use_huber_arr)
-        ok = jnp.isfinite(cost_new) & (cost_new < cost_old)
-        poses = jnp.where(ok, poses_new, poses)
-        points = jnp.where(ok, points_new, points)
-        lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-        return poses, points, lam, jnp.where(ok, cost_new, cost_old)
+        poses, points, lam = state
+        return lm_iteration(poses, points, lam, prob, use_huber_arr)
 
-    init = (prob.poses, prob.points, jnp.asarray(1e-4, dtype), jnp.asarray(0.0, dtype))
-    poses, points, _, _ = lax.fori_loop(0, iterations, body, init)
+    init = (prob.poses, prob.points, jnp.asarray(1e-4, dtype))
+    poses, points, _ = lax.fori_loop(0, iterations, body, init)
 
     r, _, _, z = _proj_residual_jac(
         poses, points, prob.obs_cam, prob.obs_point, prob.obs_uv, prob.K

@@ -156,8 +156,15 @@ class LoopCloser:
         obs_b = np.asarray(smap.kf_obs[cand])
         has_a = jnp.asarray(obs_a >= 0) & smap.kf_feat_valid[kf_id]
         has_b = jnp.asarray(obs_b >= 0) & smap.kf_feat_valid[cand]
+        # loop-stage matching is all-vs-all (no spatial window, no BoW
+        # buckets), so on repetitive texture the classic 0.75-ratio/TH_LOW
+        # gate starves: true revisit pairs measured ~34 matches vs ~55 with
+        # TH_HIGH + 0.9 ratio + rotation histogram. Precision is enforced
+        # downstream by the Sim3 RANSAC's per-view pixel chi2 gates.
         matches = match_descriptor_sets(
-            smap.kf_desc_pm1[kf_id], has_a, smap.kf_desc_pm1[cand], has_b
+            smap.kf_desc_pm1[kf_id], has_a, smap.kf_desc_pm1[cand], has_b,
+            angle_a=smap.kf_angle[kf_id], angle_b=smap.kf_angle[cand],
+            nn_ratio=0.9, max_dist=100, check_rotation=True,
         )
         m_h = np.asarray(matches)
         sel = np.nonzero(m_h >= 0)[0]

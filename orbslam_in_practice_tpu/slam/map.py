@@ -380,25 +380,42 @@ class SlamMap:
         self._gc_orphan_landmarks(seen)
 
     def evict_keyframe(self, protect: np.ndarray) -> int:
-        """Evict one keyframe to make room when the table is full: the
-        weakest-connected (to the protected working set), oldest keyframe.
+        """Evict one keyframe to make room when the table is full: the most
+        REDUNDANT one — the keyframe whose landmarks are best covered by
+        other keyframes (ORB-SLAM's culling criterion applied to eviction).
         Returns the evicted slot or -1. Protect should contain the current
-        local window (and is always honored)."""
+        local window (and is always honored).
+
+        Why not weakest-connected-oldest: on a loop trajectory the old
+        keyframes on the far side are exactly the ones with zero connection
+        to the current working set, so that policy deletes the loop anchors
+        place recognition needs; a unique-coverage (low-redundancy) keyframe
+        is kept no matter how old or isolated it is."""
         valid = self.kf_valid_host()[: self.n_kf].copy()
         protect = set(int(p) for p in protect)
         cands = [k for k in np.nonzero(valid)[0] if int(k) not in protect]
         if not cands:
             return -1
+        obs = self.kf_obs_host()
+        redundancy = np.empty(len(cands))
+        for i, k in enumerate(cands):
+            seen = obs[k][obs[k] >= 0]
+            # a keyframe with no landmark observations retains nothing:
+            # maximally evictable (above any real redundancy score)
+            redundancy[i] = (
+                float((self.lm_obs_count[seen] >= 3).mean()) if len(seen) else 2.0
+            )
         covis = self.covisibility()
         prot = [p for p in protect if p < self.n_kf and valid[p]]
-        # connection strength to the working set; ties -> oldest first
         strength = (
             covis[np.asarray(cands)][:, np.asarray(prot, int)].sum(axis=1)
             if prot
             else np.zeros(len(cands))
         )
+        # most redundant first; among equals, the one best represented by
+        # the current working set
         order = sorted(
-            range(len(cands)), key=lambda i: (strength[i], self.kf_seq[cands[i]])
+            range(len(cands)), key=lambda i: (-redundancy[i], -strength[i])
         )
         victim = int(cands[order[0]])
         self.remove_keyframe(victim)

@@ -86,6 +86,7 @@ class Tracking:
         self.velocity = None  # (4, 4) Tcw_cur @ inv(Tcw_last)
         self.ref_kf = -1
         self.last_kf_frame_id = -1
+        self._peak_inliers_since_kf = 0
         self.last_reloc_frame_id = -1e9
         # init buffers (ref MonocularInitialization :157-224)
         self._init_frame = None
@@ -665,7 +666,24 @@ class Tracking:
         # min-gap 0) always holds. long_gap kept as the c1a fallback.
         c2 = self.n_inliers < 0.9 * ref_tracked and self.n_inliers > 15
         long_gap = frames_since_kf >= max(2, int(self.cfg.fps))
-        return c2 or (long_gap and self.n_inliers >= 30)
+        # decay criterion: on a young map (e.g. constant rotation sweeping
+        # into unmapped area) most ref-KF landmarks have only 2 observations,
+        # so ref_tracked is tiny and c2 can sit false while absolute inliers
+        # bleed toward the LOST threshold. ONLY when c2's denominator is
+        # clearly uninformative (ref_tracked well below the live inlier
+        # count), fall back to inserting when inliers drop well below their
+        # post-KF peak. Guarded this way it never fires on mature maps,
+        # where c2 alone governs (over-insertion churns the keyframe table
+        # and was measured to cost accuracy on strafe/KITTI regimes).
+        self._peak_inliers_since_kf = max(
+            self._peak_inliers_since_kf, self.n_inliers
+        )
+        decay = (
+            self.n_inliers < 0.7 * self._peak_inliers_since_kf
+            and frames_since_kf >= 2
+            and self.n_inliers > 15
+        )
+        return c2 or decay or (long_gap and self.n_inliers >= 30)
 
     def _insert_keyframe(self, frame):
         if self.map.keyframe_capacity() < 1:
@@ -685,6 +703,7 @@ class Tracking:
         )
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
+        self._peak_inliers_since_kf = 0
         self.mapper.process_new_keyframe(self.map, kf_id)
         if self.loop_closer is not None and self.loop_closer.attempt(self.map, kf_id):
             # map geometry jumped: the motion model is stale

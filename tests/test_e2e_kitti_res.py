@@ -30,6 +30,9 @@ def test_e2e_kitti_resolution():
         seed=7,
         depth_range=(5.0, 20.0),
         spread=(10.0, 4.0),
+        # KITTI-scale structure: at 5-20 m the optical PSF correctly wipes
+        # centimeter texture, so the scene carries building/road-scale quads
+        size_range=(0.2, 1.0),
     )
     # KITTI-like baseline-to-depth ratio (~10cm steps against 5-20m depths)
     seq.poses = make_trajectory(seq.n_frames, "strafe", step=0.1)

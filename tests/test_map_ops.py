@@ -172,20 +172,33 @@ def test_keyframe_slot_recycling_and_seq_order(rng):
     assert smap.kf_seq[k_new] == 8  # monotonic ids (ref src/KeyFrame.cpp:5)
 
 
-def test_eviction_prefers_weakly_connected_old(rng):
+def test_eviction_prefers_redundant(rng):
+    """Eviction removes the most REDUNDANT keyframe (landmarks covered by
+    >=3 others), never a unique-coverage one — on loop trajectories the
+    unique old keyframes are the anchors place recognition needs."""
     smap = make_map()
     lm_a = smap.allocate_landmarks(20)
-    _add_landmarks(smap, lm_a)
-    # kf0 shares landmarks with kf1/kf2 (strong); kf3 sees nothing shared
+    lm_b = smap.allocate_landmarks(20)
+    _add_landmarks(smap, np.concatenate([lm_a, lm_b]))
     obs_shared = np.full(64, -1)
     obs_shared[:20] = lm_a
     k0 = add_kf(smap, rng, obs_shared)
     k1 = add_kf(smap, rng, obs_shared)
     k2 = add_kf(smap, rng, obs_shared)
-    k3 = add_kf(smap, rng, np.full(64, -1))
+    # k3 is the ONLY observer of lm_b: unique coverage, must survive even
+    # though it is unconnected to the working set
+    obs_unique = np.full(64, -1)
+    obs_unique[:20] = lm_b
+    k3 = add_kf(smap, rng, obs_unique)
     victim = smap.evict_keyframe(protect=np.array([k2]))
-    assert victim == k3  # zero connection to the working set, evicted first
-    assert not bool(smap.kf_valid[k3])
+    assert victim in (k0, k1)  # fully redundant (lm_a has 3 observers)
+    assert bool(smap.kf_valid[k3])
+
+    # an EMPTY keyframe retains nothing: most evictable of all
+    k4 = add_kf(smap, rng, np.full(64, -1))
+    victim2 = smap.evict_keyframe(protect=np.array([k2]))
+    assert victim2 == k4
+    assert not bool(smap.kf_valid[k4])
 
 
 def test_remove_keyframe_reanchors_first_kf(rng):

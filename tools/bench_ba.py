@@ -96,24 +96,26 @@ def main():
             f"{min(ts):7.3f} ms/LM-iteration"
         )
 
-    # speed-of-light report. XLA cost analysis does not reliably traverse
-    # lax while/fori bodies, so estimate the PER-ITERATION cost as the delta
-    # between a 2-iteration and a 1-iteration program (setup/write-back
-    # cancel), then compare with the measured ms/LM-iteration above.
+    # speed-of-light report: cost-analyze exactly ONE LM iteration (XLA
+    # cost analysis counts a lax loop body once regardless of trip count,
+    # so analyzing bundle_adjustment(iterations=N) is not per-iteration).
+    from orbslam_in_practice_tpu.optim.ba import lm_iteration
+
     for (W, L, F) in ((5, 600, 300), (10, 1500, 400), (20, 4000, 500)):
         prob = make_problem(W, L, F)
-        rep1 = speed_of_light_report(
-            lambda p: bundle_adjustment(p, iterations=1), prob
+        rep = speed_of_light_report(
+            lambda poses, points, lam: lm_iteration(
+                poses, points, lam, prob, jnp.asarray(True)
+            ),
+            prob.poses,
+            prob.points,
+            jnp.float32(1e-4),
         )
-        rep2 = speed_of_light_report(
-            lambda p: bundle_adjustment(p, iterations=2), prob
-        )
-        d_flops = rep2["flops"] - rep1["flops"]
-        d_bytes = rep2["bytes_accessed"] - rep1["bytes_accessed"]
-        t_c = d_flops / 197e12 * 1e3
-        t_m = d_bytes / 819e9 * 1e3
+        t_c = rep["t_compute_s"] * 1e3
+        t_m = rep["t_memory_s"] * 1e3
         print(
-            f"SoL per-iter W={W:3d}: flops={d_flops:.3e} bytes={d_bytes:.3e} "
+            f"SoL per-iter W={W:3d}: flops={rep['flops']:.3e} "
+            f"bytes={rep['bytes_accessed']:.3e} "
             f"t_compute={t_c:.4f} ms t_memory={t_m:.4f} ms "
             f"lower_bound={max(t_c, t_m):.4f} ms"
         )
