@@ -36,6 +36,7 @@ from orbslam_in_practice_tpu.optim.ba import (
     BAProblem,
     build_normal_equations,
     build_point_obs,
+    included_obs_mask,
     schur_solve,
     _proj_residual_jac,
     _robust_cost,
@@ -113,7 +114,9 @@ def _local_cost(poses, points, prob: BAProblem, use_huber, axis: str):
         poses, points, prob.obs_cam, prob.obs_point, prob.obs_uv, prob.K
     )
     chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-    local = jnp.sum(_robust_cost(chi2, use_huber) * prob.obs_mask.astype(poses.dtype))
+    # same observation set as the normal equations (optim.ba.included_obs_mask)
+    w = (prob.obs_mask & included_obs_mask(prob.point_obs, prob.obs_cam.shape[0]))
+    local = jnp.sum(_robust_cost(chi2, use_huber) * w.astype(poses.dtype))
     return lax.psum(local, axis)
 
 
@@ -304,9 +307,20 @@ def distributed_global_ba(
     points = np.asarray(smap.lm_pos)[lm_ids]
     fixed = np.array([k in fixed_kfs for k in cams])
     n_shards = int(np.prod(mesh.devices.shape))
+    from orbslam_in_practice_tpu.optim.ba import adaptive_o_max, count_obs_drops
+
+    max_count = int(np.bincount(which, minlength=1).max())
+    o_max = adaptive_o_max(max_count, 12, cap=24)
+    dropped = count_obs_drops(which, len(lm_ids), o_max)
+    if dropped:
+        import logging
+
+        logging.getLogger("orbslam_tpu").warning(
+            "distributed BA dropped %d observations beyond o_max=%d", dropped, o_max
+        )
     prob = partition_ba_problem(
         poses, points, obs_cam, which.astype(np.int32), obs_uv,
-        inv_s2, fixed, K, n_shards=n_shards,
+        inv_s2, fixed, K, n_shards=n_shards, o_max=o_max,
     )
     poses_new, points_new = dist_bundle_adjustment(prob, mesh, iterations=iterations)
     smap.set_kf_poses(cams, np.asarray(poses_new))

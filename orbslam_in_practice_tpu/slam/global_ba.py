@@ -15,9 +15,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from orbslam_in_practice_tpu.optim.ba import BAProblem, build_point_obs, bundle_adjustment
+from orbslam_in_practice_tpu.optim.ba import (
+    BAProblem,
+    adaptive_o_max,
+    build_point_obs,
+    bundle_adjustment,
+    count_obs_drops,
+)
 
 O_MAX = 16
+# cap: above 64 cams the Schur assembly takes the scatter path whose pair
+# tensor is (L, O, O, 6, 6) — O=24 keeps it within ~1.4 GB at L=16384
+O_CAP = 24
 
 
 def _round_up(n: int, m: int) -> int:
@@ -70,6 +79,15 @@ def global_bundle_adjustment(
         return out
 
     which32 = which.astype(np.int32)
+    max_count = int(np.bincount(which32, minlength=1).max())
+    o_max = adaptive_o_max(max_count, O_MAX, cap=O_CAP)
+    dropped = count_obs_drops(which32, len(lm_ids), o_max)
+    if dropped:
+        import logging
+
+        logging.getLogger("orbslam_tpu").warning(
+            "global BA dropped %d observations beyond o_max=%d", dropped, o_max
+        )
     prob = BAProblem(
         poses=jnp.asarray(poses),
         points=jnp.asarray(points),
@@ -79,7 +97,7 @@ def global_bundle_adjustment(
         obs_inv_sigma2=jnp.asarray(pad(inv_s2.astype(np.float32), O_pad, 1.0)),
         obs_mask=jnp.asarray(pad(np.ones(len(obs_cam), bool), O_pad, False)),
         point_obs=jnp.asarray(
-            build_point_obs(pad(which32, O_pad, -1), L_pad, O_MAX)
+            build_point_obs(pad(which32, O_pad, -1), L_pad, o_max)
         ),
         fixed_cam=jnp.asarray(fixed),
         K=jnp.asarray(K),

@@ -401,9 +401,11 @@ class SlamMap:
         for i, k in enumerate(cands):
             seen = obs[k][obs[k] >= 0]
             # a keyframe with no landmark observations retains nothing:
-            # maximally evictable (above any real redundancy score)
+            # maximally evictable (above any real redundancy score).
+            # >= 4 = this KF's own observation + at least 3 OTHERS, matching
+            # the KeyFrameCulling criterion the docstring cites
             redundancy[i] = (
-                float((self.lm_obs_count[seen] >= 3).mean()) if len(seen) else 2.0
+                float((self.lm_obs_count[seen] >= 4).mean()) if len(seen) else 2.0
             )
         covis = self.covisibility()
         prot = [p for p in protect if p < self.n_kf and valid[p]]

@@ -679,7 +679,8 @@ class Tracking:
             self._peak_inliers_since_kf, self.n_inliers
         )
         decay = (
-            self.n_inliers < 0.7 * self._peak_inliers_since_kf
+            ref_tracked < self.n_inliers  # c2 denominator uninformative
+            and self.n_inliers < 0.7 * self._peak_inliers_since_kf
             and frames_since_kf >= 2
             and self.n_inliers > 15
         )
