@@ -41,14 +41,14 @@ def _chained_step(fn, args):
     import jax
     from jax import lax
 
-    (image, mm_ids, mm_n, loc_ids, loc_n, velocity, last_pose, *tables) = args
+    (image, packed_ids, velocity, last_pose, *tables) = args
 
     def chained(imgs, T0, V0):
         def body(i, carry):
             T, V = carry
             img = lax.dynamic_index_in_dim(imgs, i, axis=0, keepdims=False)
             _, Tcw, _, vel, _, _, _ = fn(
-                img, mm_ids, mm_n, loc_ids, loc_n, V, T, *tables
+                img, packed_ids, V, T, *tables
             )
             return Tcw, vel
 

@@ -286,11 +286,11 @@ def distributed_global_ba(
     back. Returns (n_cams, n_points, n_obs).
     """
     n_kf = smap.n_kf
-    valid_kf = np.asarray(smap.kf_valid[:n_kf])
+    valid_kf = smap.kf_valid_host()[:n_kf]
     cams = [int(k) for k in range(n_kf) if valid_kf[k]]
     if len(cams) < 2:
         return 0, 0, 0
-    lm_ids = np.nonzero(np.asarray(smap.lm_valid))[0]
+    lm_ids = np.nonzero(smap.lm_valid_host())[0]
     if len(lm_ids) == 0:
         return 0, 0, 0
     kf_idx, feat_idx, which = smap.observations_of(lm_ids)
@@ -298,13 +298,13 @@ def distributed_global_ba(
     kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
     cam_slot = {k: i for i, k in enumerate(cams)}
     obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
-    obs_uv = np.asarray(smap.kf_xy)[kf_idx, feat_idx].astype(np.float32)
-    obs_oct = np.asarray(smap.kf_octave)[kf_idx, feat_idx]
+    obs_uv = smap.hview("kf_xy")[kf_idx, feat_idx].astype(np.float32)
+    obs_oct = smap.hview("kf_octave")[kf_idx, feat_idx]
     inv_s2 = inv_level_sigma2[
         np.clip(obs_oct, 0, len(inv_level_sigma2) - 1)
     ].astype(np.float32)
-    poses = np.asarray(smap.kf_pose)[cams]
-    points = np.asarray(smap.lm_pos)[lm_ids]
+    poses = smap.hview("kf_pose")[cams]
+    points = smap.hview("lm_pos")[lm_ids]
     fixed = np.array([k in fixed_kfs for k in cams])
     n_shards = int(np.prod(mesh.devices.shape))
     from orbslam_in_practice_tpu.optim.ba import adaptive_o_max, count_obs_drops

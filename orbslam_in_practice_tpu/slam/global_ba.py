@@ -45,11 +45,11 @@ def global_bundle_adjustment(
     Returns (n_cams, n_points, n_obs) actually optimized.
     """
     n_kf = smap.n_kf
-    valid_kf = np.asarray(smap.kf_valid[:n_kf])
+    valid_kf = smap.kf_valid_host()[:n_kf]
     cams = [int(k) for k in range(n_kf) if valid_kf[k]]
     if len(cams) < 2:
         return 0, 0, 0
-    lm_ids = np.nonzero(np.asarray(smap.lm_valid))[0]
+    lm_ids = np.nonzero(smap.lm_valid_host())[0]
     if len(lm_ids) == 0:
         return 0, 0, 0
     kf_idx, feat_idx, which = smap.observations_of(lm_ids)
@@ -57,8 +57,8 @@ def global_bundle_adjustment(
     kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
     cam_slot = {k: i for i, k in enumerate(cams)}
     obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
-    obs_uv = np.asarray(smap.kf_xy)[kf_idx, feat_idx].astype(np.float32)
-    obs_oct = np.asarray(smap.kf_octave)[kf_idx, feat_idx]
+    obs_uv = smap.hview("kf_xy")[kf_idx, feat_idx].astype(np.float32)
+    obs_oct = smap.hview("kf_octave")[kf_idx, feat_idx]
     inv_s2 = inv_level_sigma2[np.clip(obs_oct, 0, len(inv_level_sigma2) - 1)]
 
     K_pad = _round_up(len(cams), 16)
@@ -66,9 +66,9 @@ def global_bundle_adjustment(
     O_pad = _round_up(len(obs_cam), 4096)
 
     poses = np.tile(np.eye(4, dtype=np.float32), (K_pad, 1, 1))
-    poses[: len(cams)] = np.asarray(smap.kf_pose)[cams]
+    poses[: len(cams)] = smap.hview("kf_pose")[cams]
     points = np.zeros((L_pad, 3), np.float32)
-    points[: len(lm_ids)] = np.asarray(smap.lm_pos)[lm_ids]
+    points[: len(lm_ids)] = smap.hview("lm_pos")[lm_ids]
     fixed = np.ones(K_pad, bool)
     for i, k in enumerate(cams):
         fixed[i] = k in fixed_kfs

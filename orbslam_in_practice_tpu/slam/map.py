@@ -2,7 +2,7 @@
 
 Replaces the reference's pointer graph — Map's std::sets (include/Map.h:28-29),
 KeyFrame's per-object members (include/KeyFrame.h), MapPoint's observation
-std::map (include/MapPoint.h:61) — with slot-allocated device arrays
+std::map (include/MapPoint.h:61) — with slot-allocated arrays
 (SURVEY.md §7.1 design stance):
 
 - keyframe table: poses + per-keyframe feature arrays + obs (feature ->
@@ -15,6 +15,22 @@ std::map (include/MapPoint.h:61) — with slot-allocated device arrays
 - covisibility: shared-observation counts M @ M^T (KeyFrame::UpdateConnections
   semantics, src/KeyFrame.cpp:54-116, threshold th=15 applied by consumers),
   with the reference's self-edge bug (:97,103) structurally impossible.
+
+HOST-TRUTH / DEVICE-MIRROR design (round 3; the perf lesson of
+tools/profile_mapping.py): every mutation is a numpy write on the host copy
+— zero device work, zero new XLA programs — and each table's device mirror
+is refreshed lazily, as ONE fixed-shape whole-table transfer, the next time
+a jitted consumer reads it. Previously each mutation was a device
+scatter/gather whose index length varied per call, so every keyframe epoch
+minted dozens of unique program shapes; through this container's remote
+compile relay that cost ~25 s per keyframe. The big descriptor table
+(k_max, f_max, 256) refreshes per dirty ROW via one cached fixed-shape
+row-set program instead of re-uploading 64 MB.
+
+The public attribute API is unchanged: `smap.kf_pose` etc. are properties
+returning the (refreshed) device mirror, and assigning them writes host
+truth. Jitted consumers read the same names they always did. Host-side code
+should read `smap.hview("name")` — the numpy truth, no transfer at all.
 
 Slot lifecycle (long-sequence viability — the reference's map grows
 unboundedly, include/Map.h:28-29; fixed shapes need recycling):
@@ -30,8 +46,8 @@ unboundedly, include/Map.h:28-29; fixed shapes need recycling):
   references are detectable after recycling.
 
 Mutation is host-driven (single-writer — the reference had shared mutable
-state and zero locks, SURVEY.md §5 race-detection note) but the arrays stay
-on device; hot queries (covisibility, local-map assembly) are jitted.
+state and zero locks, SURVEY.md §5 race-detection note); hot queries
+(covisibility, local-map assembly) are jitted against the device mirrors.
 """
 
 from __future__ import annotations
@@ -59,8 +75,26 @@ def _covis_matrix(kf_obs: jnp.ndarray, kf_valid: jnp.ndarray, l_max: int):
     return counts.astype(jnp.int32)
 
 
+@jax.jit
+def _row_set(arr: jnp.ndarray, k: jnp.ndarray, row: jnp.ndarray):
+    """ONE cached program for updating a single table row (k is traced, so
+    every row index reuses the same executable)."""
+    return arr.at[k].set(row)
+
+
+# device-mirrored tables: name -> np dtype; all are whole-table refreshed
+# except kf_desc_pm1 (row policy — see class docstring)
+_MIRRORED = (
+    "kf_pose", "kf_valid", "kf_xy", "kf_octave", "kf_angle",
+    "kf_feat_valid", "kf_desc_pm1", "kf_obs",
+    "lm_pos", "lm_valid", "lm_desc_pm1", "lm_normal",
+    "lm_min_dist", "lm_max_dist", "lm_octave",
+)
+_ROW_POLICY = {"kf_desc_pm1"}
+
+
 class SlamMap:
-    """Slot-allocated map. All arrays are jnp (functional updates)."""
+    """Slot-allocated map: numpy host truth + lazy jnp device mirrors."""
 
     def __init__(
         self,
@@ -76,24 +110,25 @@ class SlamMap:
         self.n_lm = 0  # slot high-water mark
         self.next_kf_id = 0  # monotonically increasing (ref src/KeyFrame.cpp:5)
 
-        self.kf_pose = jnp.tile(jnp.eye(4, dtype=jnp.float32), (k_max, 1, 1))
-        self.kf_valid = jnp.zeros(k_max, bool)
+        eye = np.eye(4, dtype=np.float32)
+        self._kf_pose = np.tile(eye, (k_max, 1, 1))
+        self._kf_valid = np.zeros(k_max, bool)
         self.kf_frame_id = np.full(k_max, -1, np.int64)  # source frame index
         self.kf_seq = np.full(k_max, -1, np.int64)  # monotonic insertion order
-        self.kf_xy = jnp.zeros((k_max, f_max, 2), jnp.float32)
-        self.kf_octave = jnp.zeros((k_max, f_max), jnp.int32)
-        self.kf_angle = jnp.zeros((k_max, f_max), jnp.float32)
-        self.kf_feat_valid = jnp.zeros((k_max, f_max), bool)
-        self.kf_desc_pm1 = jnp.zeros((k_max, f_max, desc_dim), jnp.int8)
-        self.kf_obs = jnp.full((k_max, f_max), -1, jnp.int32)
+        self._kf_xy = np.zeros((k_max, f_max, 2), np.float32)
+        self._kf_octave = np.zeros((k_max, f_max), np.int32)
+        self._kf_angle = np.zeros((k_max, f_max), np.float32)
+        self._kf_feat_valid = np.zeros((k_max, f_max), bool)
+        self._kf_desc_pm1 = np.zeros((k_max, f_max, desc_dim), np.int8)
+        self._kf_obs = np.full((k_max, f_max), -1, np.int32)
 
-        self.lm_pos = jnp.zeros((l_max, 3), jnp.float32)
-        self.lm_valid = jnp.zeros(l_max, bool)
-        self.lm_desc_pm1 = jnp.zeros((l_max, desc_dim), jnp.int8)
-        self.lm_normal = jnp.zeros((l_max, 3), jnp.float32)
-        self.lm_min_dist = jnp.zeros(l_max, jnp.float32)
-        self.lm_max_dist = jnp.full(l_max, jnp.inf, jnp.float32)
-        self.lm_octave = jnp.zeros(l_max, jnp.int32)
+        self._lm_pos = np.zeros((l_max, 3), np.float32)
+        self._lm_valid = np.zeros(l_max, bool)
+        self._lm_desc_pm1 = np.zeros((l_max, desc_dim), np.int8)
+        self._lm_normal = np.zeros((l_max, 3), np.float32)
+        self._lm_min_dist = np.zeros(l_max, np.float32)
+        self._lm_max_dist = np.full(l_max, np.inf, np.float32)
+        self._lm_octave = np.zeros(l_max, np.int32)
         self.lm_first_kf = np.full(l_max, -1, np.int32)
         self.lm_uid = np.full(l_max, -1, np.int64)  # allocation generation tag
         self.lm_obs_count = np.zeros(l_max, np.int32)
@@ -106,37 +141,63 @@ class SlamMap:
         self._lm_free: list = []
         self._lm_free_pending: list = []
         self._covis_cache = None  # invalidated on any observation change
-        self._host_cache = {}  # host mirrors of device tables, same lifetime
+        # device-mirror state
+        self._dev: dict = {}
+        self._dirty = set(_MIRRORED)
+        self._dirty_rows: dict = {n: set() for n in _ROW_POLICY}
+
+    # ---------------- device mirrors ----------------
+
+    def _mirror(self, name: str):
+        host = getattr(self, "_" + name)
+        if name in self._dirty or name not in self._dev:
+            self._dev[name] = jnp.asarray(host)
+            self._dirty.discard(name)
+            if name in _ROW_POLICY:
+                self._dirty_rows[name].clear()
+        elif name in _ROW_POLICY and self._dirty_rows[name]:
+            dev = self._dev[name]
+            for k in sorted(self._dirty_rows[name]):
+                dev = _row_set(dev, jnp.asarray(k), jnp.asarray(host[k]))
+            self._dev[name] = dev
+            self._dirty_rows[name].clear()
+        return self._dev[name]
+
+    def _touch(self, *names: str):
+        """Mark whole tables dirty (next mirror read re-uploads)."""
+        for n in names:
+            self._dirty.add(n)
+
+    def _touch_row(self, name: str, k: int):
+        if name in self._dirty:
+            return  # full refresh already pending
+        self._dirty_rows[name].add(int(k))
+
+    def hview(self, name: str) -> np.ndarray:
+        """The numpy host truth of a mirrored table — READ-ONLY by contract
+        (mutate through the map's methods so mirrors stay coherent)."""
+        return getattr(self, "_" + name)
 
     def _invalidate_caches(self):
         self._covis_cache = None
-        self._host_cache.clear()
 
+    # legacy host accessors (kept for call-site compatibility; now free)
     def kf_obs_host(self) -> np.ndarray:
-        """Host mirror of kf_obs — ONE device->host transfer per map
-        mutation epoch instead of one per query (the per-frame local-map
-        vote and keyframe decision both read it)."""
-        if "kf_obs" not in self._host_cache:
-            self._host_cache["kf_obs"] = np.asarray(self.kf_obs)
-        return self._host_cache["kf_obs"]
+        return self._kf_obs
 
     def lm_valid_host(self) -> np.ndarray:
-        if "lm_valid" not in self._host_cache:
-            self._host_cache["lm_valid"] = np.asarray(self.lm_valid)
-        return self._host_cache["lm_valid"]
+        return self._lm_valid
 
     def kf_valid_host(self) -> np.ndarray:
-        if "kf_valid" not in self._host_cache:
-            self._host_cache["kf_valid"] = np.asarray(self.kf_valid)
-        return self._host_cache["kf_valid"]
+        return self._kf_valid
 
     # ---------------- counts / capacity ----------------
 
     def n_kf_active(self) -> int:
-        return int(self.kf_valid_host()[: self.n_kf].sum())
+        return int(self._kf_valid[: self.n_kf].sum())
 
     def n_lm_active(self) -> int:
-        return int(self.lm_valid_host()[: self.n_lm].sum())
+        return int(self._lm_valid[: self.n_lm].sum())
 
     def keyframe_capacity(self) -> int:
         return (self.k_max - self.n_kf) + len(self._kf_free)
@@ -147,13 +208,13 @@ class SlamMap:
     def valid_keyframes_by_seq(self) -> np.ndarray:
         """Valid keyframe slot ids ordered by insertion sequence (temporal
         order — robust to slot recycling)."""
-        valid = self.kf_valid_host()[: self.n_kf]
+        valid = self._kf_valid[: self.n_kf]
         ids = np.nonzero(valid)[0]
         return ids[np.argsort(self.kf_seq[ids], kind="stable")]
 
     # ---------------- keyframes ----------------
 
-    def add_keyframe(self, frame, Tcw: jnp.ndarray, obs: np.ndarray, frame_id: int) -> int:
+    def add_keyframe(self, frame, Tcw, obs: np.ndarray, frame_id: int) -> int:
         """Insert a Frame snapshot (ref KeyFrame ctor src/KeyFrame.cpp:11-17).
 
         obs: (F,) int32 landmark id per feature (-1 = none).
@@ -175,35 +236,44 @@ class SlamMap:
         if nf > self.f_max:
             raise ValueError(f"frame has {nf} features > map f_max {self.f_max}")
 
-        def pad(x, fill=0):
-            if nf == self.f_max:
-                return x
-            shape = (self.f_max - nf,) + x.shape[1:]
-            return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
-
-        self.kf_pose = self.kf_pose.at[k].set(Tcw)
-        self.kf_valid = self.kf_valid.at[k].set(True)
+        # ONE device->host transfer for the whole frame snapshot
+        xy, octave, angle, fvalid, desc = jax.device_get(
+            (frame.xy, frame.octave, frame.angle, frame.valid, frame.desc_pm1)
+        )
+        self._kf_pose[k] = np.asarray(Tcw)
+        self._kf_valid[k] = True
         self.kf_frame_id[k] = frame_id
         self.kf_seq[k] = self.next_kf_id
-        self.kf_xy = self.kf_xy.at[k].set(pad(frame.xy))
-        self.kf_octave = self.kf_octave.at[k].set(pad(frame.octave))
-        self.kf_angle = self.kf_angle.at[k].set(pad(frame.angle))
-        self.kf_feat_valid = self.kf_feat_valid.at[k].set(pad(frame.valid, False))
-        self.kf_desc_pm1 = self.kf_desc_pm1.at[k].set(pad(frame.desc_pm1))
-        obs = pad(jnp.asarray(obs, jnp.int32), -1)
-        self.kf_obs = self.kf_obs.at[k].set(
-            jnp.where(self.kf_feat_valid[k], obs, -1)
-        )
+        self._kf_xy[k, :nf] = xy
+        self._kf_xy[k, nf:] = 0.0
+        self._kf_octave[k, :nf] = octave
+        self._kf_octave[k, nf:] = 0
+        self._kf_angle[k, :nf] = angle
+        self._kf_angle[k, nf:] = 0.0
+        self._kf_feat_valid[k, :nf] = fvalid
+        self._kf_feat_valid[k, nf:] = False
+        self._kf_desc_pm1[k, :nf] = desc
+        self._kf_desc_pm1[k, nf:] = 0
+
+        obs_row = np.full(self.f_max, -1, np.int32)
+        obs_row[:nf] = np.asarray(obs, np.int32)[:nf]
+        obs_row[~self._kf_feat_valid[k]] = -1
+        self._kf_obs[k] = obs_row
         # bump landmark observation counts
-        host_obs = np.asarray(obs)
-        seen = host_obs[host_obs >= 0]
+        seen = obs_row[obs_row >= 0]
         np.add.at(self.lm_obs_count, seen, 1)
         self.next_kf_id += 1
+        self._touch(
+            "kf_pose", "kf_valid", "kf_xy", "kf_octave", "kf_angle",
+            "kf_feat_valid", "kf_obs",
+        )
+        self._touch_row("kf_desc_pm1", k)
         self._invalidate_caches()
         return k
 
     def set_kf_poses(self, kf_ids, poses):
-        self.kf_pose = self.kf_pose.at[jnp.asarray(kf_ids)].set(jnp.asarray(poses))
+        self._kf_pose[np.asarray(kf_ids)] = np.asarray(poses, np.float32)
+        self._touch("kf_pose")
 
     # ---------------- landmarks ----------------
 
@@ -241,31 +311,54 @@ class SlamMap:
     def add_landmarks(
         self,
         ids: np.ndarray,
-        pos: jnp.ndarray,
-        desc_pm1: jnp.ndarray,
-        normal: jnp.ndarray,
-        octave: jnp.ndarray,
-        min_dist: jnp.ndarray,
-        max_dist: jnp.ndarray,
+        pos,
+        desc_pm1,
+        normal,
+        octave,
+        min_dist,
+        max_dist,
         first_kf: int,
         valid_mask: np.ndarray | None = None,
     ):
         """Batch landmark insertion (ref MapPoint ctor src/MapPoint.cpp:7-15,
         plus the distance/normal invariants the reference lacked)."""
-        ids_j = jnp.asarray(ids)
-        self.lm_pos = self.lm_pos.at[ids_j].set(jnp.asarray(pos))
-        self.lm_desc_pm1 = self.lm_desc_pm1.at[ids_j].set(jnp.asarray(desc_pm1))
-        self.lm_normal = self.lm_normal.at[ids_j].set(jnp.asarray(normal))
-        self.lm_octave = self.lm_octave.at[ids_j].set(jnp.asarray(octave, jnp.int32))
-        self.lm_min_dist = self.lm_min_dist.at[ids_j].set(jnp.asarray(min_dist))
-        self.lm_max_dist = self.lm_max_dist.at[ids_j].set(jnp.asarray(max_dist))
+        ids = np.asarray(ids)
+        self._lm_pos[ids] = np.asarray(pos, np.float32)
+        self._lm_desc_pm1[ids] = np.asarray(desc_pm1, np.int8)
+        self._lm_normal[ids] = np.asarray(normal, np.float32)
+        self._lm_octave[ids] = np.asarray(octave, np.int32)
+        self._lm_min_dist[ids] = np.asarray(min_dist, np.float32)
+        self._lm_max_dist[ids] = np.asarray(max_dist, np.float32)
         v = np.ones(len(ids), bool) if valid_mask is None else np.asarray(valid_mask)
-        self.lm_valid = self.lm_valid.at[ids_j].set(jnp.asarray(v))
+        self._lm_valid[ids] = v
         self.lm_first_kf[ids] = first_kf
-        self._host_cache.pop("lm_valid", None)
+        self._touch(
+            "lm_pos", "lm_desc_pm1", "lm_normal", "lm_octave",
+            "lm_min_dist", "lm_max_dist", "lm_valid",
+        )
 
     def set_landmark_positions(self, ids, pos):
-        self.lm_pos = self.lm_pos.at[jnp.asarray(ids)].set(jnp.asarray(pos))
+        self._lm_pos[np.asarray(ids)] = np.asarray(pos, np.float32)
+        self._touch("lm_pos")
+
+    def write_landmark_invariants(
+        self, ids, normal, min_dist, max_dist, desc_pm1, octave, upd
+    ):
+        """Refresh invariants for the given landmark slots (host write; the
+        jitted refresh kernel's outputs land here). `upd` masks rows with no
+        observations (kept unchanged)."""
+        ids = np.asarray(ids)[np.asarray(upd)]
+        if len(ids) == 0:
+            return
+        sel = np.asarray(upd)
+        self._lm_normal[ids] = np.asarray(normal, np.float32)[sel]
+        self._lm_min_dist[ids] = np.asarray(min_dist, np.float32)[sel]
+        self._lm_max_dist[ids] = np.asarray(max_dist, np.float32)[sel]
+        self._lm_desc_pm1[ids] = np.asarray(desc_pm1, np.int8)[sel]
+        self._lm_octave[ids] = np.asarray(octave, np.int32)[sel]
+        self._touch(
+            "lm_normal", "lm_min_dist", "lm_max_dist", "lm_desc_pm1", "lm_octave"
+        )
 
     def erase_landmarks(self, ids: np.ndarray):
         """SetBadFlag semantics (absent in reference — SURVEY.md §2.1 #6).
@@ -273,13 +366,14 @@ class SlamMap:
         if len(ids) == 0:
             return
         ids = np.asarray(ids)
-        ids_j = jnp.asarray(ids)
-        self.lm_valid = self.lm_valid.at[ids_j].set(False)
-        # remove from keyframe observation tables
-        is_bad = jnp.zeros(self.l_max, bool).at[ids_j].set(True)
-        obs_bad = (self.kf_obs >= 0) & is_bad[jnp.maximum(self.kf_obs, 0)]
-        self.kf_obs = jnp.where(obs_bad, -1, self.kf_obs)
+        self._lm_valid[ids] = False
+        # remove from keyframe observation tables (host full-table op)
+        is_bad = np.zeros(self.l_max, bool)
+        is_bad[ids] = True
+        obs_bad = (self._kf_obs >= 0) & is_bad[np.maximum(self._kf_obs, 0)]
+        self._kf_obs[obs_bad] = -1
         self._free_landmark_slots(ids)
+        self._touch("lm_valid", "kf_obs")
         self._invalidate_caches()
 
     def _gc_orphan_landmarks(self, candidate_ids: np.ndarray):
@@ -288,47 +382,57 @@ class SlamMap:
         if len(candidate_ids) == 0:
             return
         cand = np.unique(np.asarray(candidate_ids))
-        orphan = cand[
-            (self.lm_obs_count[cand] <= 0) & self.lm_valid_host()[cand]
-        ]
+        orphan = cand[(self.lm_obs_count[cand] <= 0) & self._lm_valid[cand]]
         if len(orphan) == 0:
             return
-        self.lm_valid = self.lm_valid.at[jnp.asarray(orphan)].set(False)
+        self._lm_valid[orphan] = False
         self._free_landmark_slots(orphan)
-        self._host_cache.pop("lm_valid", None)
+        self._touch("lm_valid")
 
     def add_observations(self, kf_id: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind landmark ids to keyframe features (MapPoint::AddObservation +
         KeyFrame::AddMapPoint semantics, src/MapPoint.cpp:17-24)."""
         if len(feat_idx) == 0:
             return
-        self.kf_obs = self.kf_obs.at[kf_id, jnp.asarray(feat_idx)].set(
-            jnp.asarray(lm_ids, jnp.int32)
-        )
+        self._kf_obs[kf_id, np.asarray(feat_idx)] = np.asarray(lm_ids, np.int32)
         np.add.at(self.lm_obs_count, np.asarray(lm_ids), 1)
+        self._touch("kf_obs")
         self._invalidate_caches()
 
     # ---------------- queries ----------------
 
     def covisibility(self) -> np.ndarray:
         """(n_kf, n_kf) shared-landmark counts (host array, cached until
-        the observation structure changes)."""
+        the observation structure changes).
+
+        Computed on the HOST from the numpy truth (one BLAS sgemm over the
+        sees matrix): the mutation path dirties kf_obs every keyframe
+        epoch, and the device route paid mirror re-upload + dispatch +
+        download (~44 ms/recompute through the relay) for a matmul that
+        takes single-digit ms in BLAS at these sizes. `_covis_matrix`
+        remains the jitted in-graph variant for device-side consumers."""
         if self._covis_cache is None:
-            counts = _covis_matrix(self.kf_obs, self.kf_valid, self.l_max)
-            self._covis_cache = np.asarray(counts)
+            n = self.n_kf
+            obs = self._kf_obs[:n]
+            mask = (obs >= 0) & self._kf_valid[:n, None]
+            sees = np.zeros((n, self.l_max), np.float32)
+            kf_idx, feat_idx = np.nonzero(mask)
+            sees[kf_idx, obs[kf_idx, feat_idx]] = 1.0
+            counts = sees @ sees.T
+            np.fill_diagonal(counts, 0.0)
+            self._covis_cache = counts.astype(np.int32)
         return self._covis_cache[: self.n_kf, : self.n_kf]
 
     def keyframe_landmarks(self, kf_id: int) -> np.ndarray:
         """Landmark ids observed by a keyframe (host, deduped, valid only)."""
-        obs = self.kf_obs_host()[kf_id]
-        lm_valid = self.lm_valid_host()
+        obs = self._kf_obs[kf_id]
         ids = obs[obs >= 0]
-        return np.unique(ids[lm_valid[ids]])
+        return np.unique(ids[self._lm_valid[ids]])
 
     def observations_of(self, lm_ids: np.ndarray) -> tuple:
         """(kf_idx, feat_idx, lm_idx_into_input) for all observations of the
         given landmarks across valid keyframes (host-side)."""
-        obs = self.kf_obs_host()[: self.n_kf]  # (K, F)
+        obs = self._kf_obs[: self.n_kf]  # (K, F)
         lookup = np.full(self.l_max, -1, np.int64)
         lookup[lm_ids] = np.arange(len(lm_ids))
         hit = (obs >= 0) & (lookup[np.maximum(obs, 0)] >= 0)
@@ -339,7 +443,7 @@ class SlamMap:
         return {
             "n_kf": self.n_kf_active(),
             "n_lm": self.n_lm_active(),
-            "n_obs": int(np.asarray(jnp.sum(self.kf_obs >= 0))),
+            "n_obs": int((self._kf_obs >= 0).sum()),
             "kf_slots_hw": self.n_kf,
             "lm_slots_hw": self.n_lm,
             "kf_free": len(self._kf_free),
@@ -351,15 +455,16 @@ class SlamMap:
         §2.1 #5 'SetBadFlag/culling absent'): drop the KF and its
         observations; landmark bookkeeping updated, the slot recycled, and
         landmarks anchored to this KF re-anchored to another observer."""
-        obs = self.kf_obs_host()[kf_id]
+        obs = self._kf_obs[kf_id]
         seen = obs[obs >= 0]
         np.subtract.at(self.lm_obs_count, seen, 1)
-        self.kf_valid = self.kf_valid.at[kf_id].set(False)
-        self.kf_obs = self.kf_obs.at[kf_id].set(-1)
-        self.kf_feat_valid = self.kf_feat_valid.at[kf_id].set(False)
+        self._kf_valid[kf_id] = False
+        self._kf_obs[kf_id] = -1
+        self._kf_feat_valid[kf_id] = False
         self.kf_seq[kf_id] = -1
         self.kf_frame_id[kf_id] = -1
         self._kf_free.append(int(kf_id))
+        self._touch("kf_valid", "kf_obs", "kf_feat_valid")
         self._invalidate_caches()
         # re-anchor landmarks whose reference keyframe this was (loop closure
         # corrects landmarks through lm_first_kf — a dangling anchor would
@@ -391,12 +496,12 @@ class SlamMap:
         to the current working set, so that policy deletes the loop anchors
         place recognition needs; a unique-coverage (low-redundancy) keyframe
         is kept no matter how old or isolated it is."""
-        valid = self.kf_valid_host()[: self.n_kf].copy()
+        valid = self._kf_valid[: self.n_kf].copy()
         protect = set(int(p) for p in protect)
         cands = [k for k in np.nonzero(valid)[0] if int(k) not in protect]
         if not cands:
             return -1
-        obs = self.kf_obs_host()
+        obs = self._kf_obs
         redundancy = np.empty(len(cands))
         for i, k in enumerate(cands):
             seen = obs[k][obs[k] >= 0]
@@ -427,18 +532,17 @@ class SlamMap:
         """MapPoint::Replace semantics: merge duplicate landmarks after
         fusion; every observation of `loser` re-points to `winner` unless the
         keyframe already observes `winner` (then the duplicate is dropped).
-        Vectorized: one gather + one scatter."""
-        obs = self.kf_obs_host()
+        Vectorized host table ops."""
+        obs = self._kf_obs
         kf_idx, feat_idx = np.nonzero(obs == loser)
         if len(kf_idx):
             sees_winner = (obs == winner).any(axis=1)
             drop = sees_winner[kf_idx]
-            new_vals = np.where(drop, -1, winner).astype(np.int32)
-            self.kf_obs = self.kf_obs.at[
-                jnp.asarray(kf_idx), jnp.asarray(feat_idx)
-            ].set(jnp.asarray(new_vals))
+            obs[kf_idx, feat_idx] = np.where(drop, -1, winner).astype(np.int32)
             self.lm_obs_count[winner] += int((~drop).sum())
-        self.lm_valid = self.lm_valid.at[loser].set(False)
+            self._touch("kf_obs")
+        self._lm_valid[loser] = False
+        self._touch("lm_valid")
         self._free_landmark_slots(np.asarray([loser]))
         self._invalidate_caches()
 
@@ -448,12 +552,13 @@ class SlamMap:
         landmarks that lost their last observation."""
         if len(kf_idx) == 0:
             return
-        obs = np.asarray(self.kf_obs[jnp.asarray(kf_idx), jnp.asarray(feat_idx)])
+        kf_idx = np.asarray(kf_idx)
+        feat_idx = np.asarray(feat_idx)
+        obs = self._kf_obs[kf_idx, feat_idx]
         seen = obs[obs >= 0]
         np.subtract.at(self.lm_obs_count, seen, 1)
-        self.kf_obs = self.kf_obs.at[
-            jnp.asarray(kf_idx), jnp.asarray(feat_idx)
-        ].set(-1)
+        self._kf_obs[kf_idx, feat_idx] = -1
+        self._touch("kf_obs")
         self._invalidate_caches()
         self._gc_orphan_landmarks(seen)
 
@@ -472,3 +577,23 @@ class SlamMap:
             desc_packed=jnp.zeros((self.f_max, 8), jnp.uint32),
             desc_pm1=self.kf_desc_pm1[kf_id],
         )
+
+
+def _make_mirror_property(name: str):
+    def getter(self):
+        return self._mirror(name)
+
+    def setter(self, value):
+        # external assignment (tests, checkpoint load): host truth replaced.
+        # np.array COPIES — np.asarray of a jnp array yields a read-only
+        # view that would poison later host mutations.
+        setattr(self, "_" + name, np.array(value))
+        self._dirty.add(name)
+        if name in ("kf_obs", "kf_valid"):
+            self._invalidate_caches()
+
+    return property(getter, setter)
+
+
+for _name in _MIRRORED:
+    setattr(SlamMap, _name, _make_mirror_property(_name))

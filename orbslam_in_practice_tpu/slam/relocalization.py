@@ -127,7 +127,7 @@ def relocalize(tracker, frame):
         kf_obs_h = smap.kf_obs_host()[kf]
         lm_ids = kf_obs_h[m_h[sel]]
         if lm_pos_h is None:
-            lm_pos_h = np.asarray(smap.lm_pos)
+            lm_pos_h = smap.hview("lm_pos")
             frame_xy_h = np.asarray(frame.xy)
 
         # fixed-shape correspondence set for the jitted RANSAC

@@ -178,7 +178,7 @@ class Tracking:
         pose_np = np.asarray(pose)
         ref = self.ref_kf
         if ref >= 0:
-            T_ref = np.asarray(self.map.kf_pose[ref])
+            T_ref = self.map.hview("kf_pose")[ref]
             T_rel = pose_np @ np.linalg.inv(T_ref)
             ref_seq = int(self.map.kf_seq[ref])
         else:
@@ -275,11 +275,11 @@ class Tracking:
         self._initial_global_ba(kf1, kf2, ids)
 
         # median-depth scale normalization (ref :256-278)
-        Xn = np.asarray(self.map.lm_pos)[ids]
-        T2n = np.array(self.map.kf_pose[kf2])  # writable copy
+        Xn = self.map.hview("lm_pos")[ids].copy()
+        T2n = self.map.hview("kf_pose")[kf2].copy()  # writable copy
         # KF1 is the world origin, so depth in KF1 == world z
         med = float(np.median(Xn[:, 2]))
-        if med <= 0 or (np.asarray(self.map.kf_obs[kf2]) >= 0).sum() < 80:
+        if med <= 0 or (self.map.hview("kf_obs")[kf2] >= 0).sum() < 80:
             self.reset()
             return
         scale = 1.0 / med
@@ -300,15 +300,15 @@ class Tracking:
 
     def _initial_global_ba(self, kf1, kf2, ids, iterations: int = 20):
         kf_idx, feat_idx, which = self.map.observations_of(ids)
-        obs_uv = np.asarray(self.map.kf_xy)[kf_idx, feat_idx]
-        obs_oct = np.asarray(self.map.kf_octave)[kf_idx, feat_idx]
+        obs_uv = self.map.hview("kf_xy")[kf_idx, feat_idx]
+        obs_oct = self.map.hview("kf_octave")[kf_idx, feat_idx]
         inv_s2 = self.inv_level_sigma2[obs_oct.clip(0, self.cfg.n_levels - 1)]
         cams = [kf1, kf2]
         cam_slot = {kf1: 0, kf2: 1}
         obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
         L = len(ids)
         prob = BAProblem(
-            poses=jnp.asarray(np.asarray(self.map.kf_pose)[cams]),
+            poses=jnp.asarray(self.map.hview("kf_pose")[cams]),
             points=self.map.lm_pos[jnp.asarray(ids)],
             obs_cam=jnp.asarray(obs_cam),
             obs_point=jnp.asarray(which.astype(np.int32)),
@@ -355,10 +355,20 @@ class Tracking:
             obs_glob = jnp.where(has, sel, -1)
             return obs_glob, Xw, has
 
+        F = self.map.f_max
+
         def step(
-            image, mm_ids, mm_n, loc_ids, loc_n, velocity, last_pose,
+            image, packed_ids, velocity, last_pose,
             lm_pos, lm_desc, lm_valid, lm_oct, lm_normal, lm_mind, lm_maxd,
         ):
+            # packed_ids: ONE host->device upload for all per-frame id state
+            # [mm_ids (f_max) | loc_ids (LOCAL_MAP_MAX) | mm_n | loc_n] —
+            # each separate upload pays a full relay round trip (~22 ms,
+            # BENCH_NOTES.md), which dominated the 189 ms tracking frame.
+            mm_ids = packed_ids[:F]
+            loc_ids = packed_ids[F : F + LOCAL_MAP_MAX]
+            mm_n = packed_ids[F + LOCAL_MAP_MAX]
+            loc_n = packed_ids[F + LOCAL_MAP_MAX + 1]
             frame = ext._extract(image)
             inv_s2 = inv_sig[jnp.clip(frame.octave, 0, n_levels - 1)]
             pred = velocity @ last_pose
@@ -425,12 +435,14 @@ class Tracking:
         if len(loc) == 0:
             return "stage1", None
         m = self.map
+        packed = np.empty(m.f_max + LOCAL_MAP_MAX + 2, np.int32)
+        packed[: m.f_max] = _pad_ids(mm, m.f_max)
+        packed[m.f_max : m.f_max + LOCAL_MAP_MAX] = _pad_ids(loc, LOCAL_MAP_MAX)
+        packed[m.f_max + LOCAL_MAP_MAX] = min(len(mm), m.f_max)
+        packed[m.f_max + LOCAL_MAP_MAX + 1] = min(len(loc), LOCAL_MAP_MAX)
         frame, Tcw, obs, vel, ok1, ok, n2 = step(
             jnp.asarray(image, jnp.float32),
-            jnp.asarray(_pad_ids(mm, m.f_max)),
-            jnp.asarray(min(len(mm), m.f_max)),
-            jnp.asarray(_pad_ids(loc, LOCAL_MAP_MAX)),
-            jnp.asarray(min(len(loc), LOCAL_MAP_MAX)),
+            jnp.asarray(packed),
             self.velocity,
             jnp.asarray(self.last_pose),
             m.lm_pos, m.lm_desc_pm1, m.lm_valid, m.lm_octave,
@@ -565,7 +577,7 @@ class Tracking:
         if (m_h >= 0).sum() < 15:  # ref requires >=15 via BoW matches
             return False
         # convert feature->feature matches into feature->landmark obs
-        kf_obs_h = np.asarray(self.map.kf_obs[kf])
+        kf_obs_h = self.map.kf_obs_host()[kf]
         obs = np.full(frame.n_features, -1, np.int32)
         sel = m_h >= 0
         obs[sel] = kf_obs_h[m_h[sel]]
@@ -735,8 +747,8 @@ def materialize_trajectory(tracker) -> list:
     CURRENT keyframe poses, so global BA / loop closures refine the full
     trajectory retroactively."""
     out = []
-    kf_valid = np.asarray(tracker.map.kf_valid)
-    kf_pose = np.asarray(tracker.map.kf_pose)
+    kf_valid = tracker.map.kf_valid_host()
+    kf_pose = tracker.map.hview("kf_pose")
     kf_seq = tracker.map.kf_seq
     for entry in tracker.trajectory:
         frame_id, ts, pose, ref, T_rel, ref_seq = entry

@@ -59,8 +59,8 @@ def load_map(path: str, smap):
         if f in data:
             setattr(smap, f, int(data[f]))
     # rebuild free lists: invalid slots below the high-water marks
-    kf_valid = np.asarray(smap.kf_valid)
-    lm_valid = np.asarray(smap.lm_valid)
+    kf_valid = smap.kf_valid_host()
+    lm_valid = smap.lm_valid_host()
     smap._kf_free = [int(k) for k in np.nonzero(~kf_valid[: smap.n_kf])[0]]
     smap._lm_free = [int(i) for i in np.nonzero(~lm_valid[: smap.n_lm])[0]]
     smap._lm_free_pending = []
