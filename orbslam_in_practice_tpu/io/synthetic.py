@@ -24,7 +24,46 @@ def make_trajectory(
 ):
     """Ground-truth Tcw per frame. Kinds: strafe (lateral), forward (FOE
     motion after a sideways lead-in for parallax), orbit (circle that
-    revisits its start — loop-closure regime), rotation (yaw-dominant)."""
+    revisits its start — loop-closure regime), rotation (yaw-dominant),
+    kitti (forward driving with smooth 90-degree turns — BASELINE config-3
+    motion regime)."""
+    if kind == "kitti":
+        # Forward motion punctuated by alternating smooth 90-degree yaw
+        # arcs (KITTI-00-like blocks): heading integrates the yaw rate,
+        # position integrates the heading. A small lateral sway rides on
+        # top — monocular two-view init at the pure focus of expansion is
+        # degenerate (zero parallax at the FOE; real mono ORB-SLAM also
+        # waits for parallax there), and real driving has it anyway.
+        straight, turn_len = 90, 36
+        yaw_rate = np.zeros(n_frames, np.float64)
+        period = straight + turn_len
+        for s in range(n_frames // period + 1):
+            a = s * period + straight
+            b = min(a + turn_len, n_frames)
+            if a < n_frames:
+                sign = 1.0 if s % 2 == 0 else -1.0
+                yaw_rate[a:b] = sign * (np.pi / 2) / turn_len
+        psi = np.concatenate([[0.0], np.cumsum(yaw_rate)])[:-1]
+        dirs = np.stack([np.sin(psi), np.zeros_like(psi), np.cos(psi)], -1)
+        perp = np.stack([np.cos(psi), np.zeros_like(psi), -np.sin(psi)], -1)
+        sway = 0.08 * np.sin(np.arange(n_frames) * 0.22)
+        pos = np.concatenate(
+            [np.zeros((1, 3)), np.cumsum(step * dirs, axis=0)[:-1]]
+        )
+        pos = pos + sway[:, None] * perp
+        pos[:, 1] = 0.015 * np.sin(np.arange(n_frames) * 0.13)  # road bumps
+        poses = []
+        for i in range(n_frames):
+            T = np.eye(4, dtype=np.float32)
+            R_wc = np.asarray(
+                se3.exp_so3(
+                    jnp.asarray([0.0, float(psi[i]), 0.0], dtype=jnp.float32)
+                )
+            )
+            T[:3, :3] = R_wc.T
+            T[:3, 3] = -R_wc.T @ pos[i].astype(np.float32)
+            poses.append(T)
+        return np.stack(poses)
     poses = []
     for i in range(n_frames):
         T = np.eye(4, dtype=np.float32)
@@ -91,6 +130,7 @@ class SyntheticSequence:
         depth_range: tuple = (3.0, 9.0),
         spread: tuple = (6.0, 4.5),
         orbit_step: float | None = None,
+        step: float = 0.04,
         noise_sigma: float = 0.0,
         brightness_jitter: float = 0.0,
         texture: float = 0.45,
@@ -142,7 +182,9 @@ class SyntheticSequence:
         self.K = np.array(
             [[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32
         )
-        self.poses = make_trajectory(n_frames, kind, orbit_step=orbit_step)
+        self.poses = make_trajectory(
+            n_frames, kind, step=step, orbit_step=orbit_step
+        )
         self.n_frames = n_frames
         # scene sized to stay visible along the trajectory
         centers_w = np.stack(
@@ -164,6 +206,28 @@ class SyntheticSequence:
                 [rad * np.sin(phi), yy, r_orb - rad * np.cos(phi)],
                 axis=-1,
             ).astype(np.float32)
+        elif kind == "kitti":
+            # corridor scene: facade quads lining both sides of the driven
+            # path (building-wall statistics), sampled at random path
+            # stations with lateral offsets in depth_range — every heading
+            # along the straight/turn blocks faces populated structure,
+            # like a street canyon does
+            station = rng.integers(0, max(n_frames - 1, 1), n_points)
+            d = centers_w[np.minimum(station + 1, n_frames - 1)] - centers_w[station]
+            nrm = np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+            d = d / nrm
+            perp = np.stack([d[:, 2], np.zeros(n_points), -d[:, 0]], -1)
+            side = np.where(rng.uniform(size=n_points) < 0.5, -1.0, 1.0)
+            lat = rng.uniform(depth_range[0], depth_range[1], n_points)
+            h = rng.uniform(-spread[1], spread[1], n_points)
+            fwd = rng.uniform(0.0, 6.0, n_points)
+            self.pts = (
+                centers_w[station]
+                + (side * lat)[:, None] * perp
+                + d * fwd[:, None]
+            ).astype(np.float32)
+            self.pts[:, 1] = h
+            self._station = station
         else:
             self.pts = np.stack(
                 [
@@ -194,6 +258,10 @@ class SyntheticSequence:
         # complete the frame. All world-anchored: a texture corner is a
         # genuine static 3D point, consistent under camera rotation.
         to_cam = centers_w.mean(axis=0)[None, :] - self.pts
+        if kind == "kitti":
+            # a corridor's mean center is meaningless at the path ends:
+            # face each facade quad at the path station it was spawned from
+            to_cam = centers_w[self._station] - self.pts
         to_cam = to_cam / np.maximum(
             np.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9
         )

@@ -19,6 +19,25 @@ import time
 import numpy as np
 
 
+def kf_only_ate(smap, gt_positions, gt_ids=None) -> float:
+    """ATE over keyframe poses only — the quantity global BA optimizes.
+
+    The full exported trajectory re-anchors non-keyframe frames through
+    relative transforms recorded at TRACK time (as ORB-SLAM's trajectory
+    export does); those stale relative legs can mask a genuine keyframe
+    refinement, so GBA improvement is judged on the keyframes."""
+    from orbslam_in_practice_tpu.io.evaluation import ate_rmse
+
+    est = []
+    kfp = smap.hview("kf_pose")
+    valid = smap.kf_valid_host()
+    fids = np.asarray(smap.kf_frame_id)
+    for s in range(len(kfp)):
+        if valid[s] and fids[s] >= 0:
+            est.append((int(fids[s]), 0.0, np.asarray(kfp[s])))
+    return ate_rmse(est, gt_positions, gt_ids)[0]
+
+
 def run_sequence(cfg, frames, gt_positions, gt_ids, mesh, out_prefix):
     from orbslam_in_practice_tpu.io.evaluation import ate_rmse
     from orbslam_in_practice_tpu.parallel.dist_ba import distributed_global_ba
@@ -36,6 +55,7 @@ def run_sequence(cfg, frames, gt_positions, gt_ids, mesh, out_prefix):
     if gt_positions is not None:
         rmse, na, cov = ate_rmse(system.get_trajectory(), gt_positions, gt_ids)
         result["ate_rmse_pre_gba"] = rmse
+        result["ate_kf_pre_gba"] = kf_only_ate(system.map, gt_positions, gt_ids)
 
     # distributed global BA over the mesh
     if mesh is not None and system.map.n_kf >= 3:
@@ -55,6 +75,9 @@ def run_sequence(cfg, frames, gt_positions, gt_ids, mesh, out_prefix):
         if gt_positions is not None:
             rmse, na, cov = ate_rmse(system.get_trajectory(), gt_positions, gt_ids)
             result["ate_rmse_post_gba"] = rmse
+            result["ate_kf_post_gba"] = kf_only_ate(
+                system.map, gt_positions, gt_ids
+            )
     system.save_trajectory_tum(f"{out_prefix}_traj.txt")
     system.save_map(f"{out_prefix}_map.npz")
     return result

@@ -76,14 +76,22 @@ def test_long_orbit_recycles_and_closes_loop():
     assert tr.map.n_lm_active() < L_MAX, tr.map.n_lm_active()
     # the revisit closed the loop DURING tracking
     assert tr.loop_closer is not None and tr.loop_closer.n_closures >= 1
-    rmse, n_aligned, _ = ate_rmse(sys.get_trajectory(), seq.gt_centers())
+    gt = seq.gt_centers()
+    rmse, n_aligned, _ = ate_rmse(sys.get_trajectory(), gt)
     assert n_aligned > 0.9 * n
     # the closure must REDUCE the drift accumulated over the loop (the
     # corrective effect is the capability under test; the absolute level
     # varies run-to-run with fp scheduling on this noisy 23 m circuit)
     assert ate_pre is not None
-    assert rmse < 0.75 * ate_pre, (rmse, ate_pre)
-    assert rmse < 0.5, rmse
+    path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    print(
+        f"\norbit: ate_pre={ate_pre:.3f} rmse={rmse:.3f} "
+        f"path={path_len:.1f} m ({100 * rmse / path_len:.2f}%)"
+    )
+    assert rmse < 0.6 * ate_pre, (rmse, ate_pre)
+    # post-closure ATE relative to the driven path (VERDICT r2 next #9:
+    # was an absolute 0.5 m ~ 2.2%)
+    assert rmse < 0.01 * path_len, (rmse, path_len)
 
 
 @pytest.mark.slow

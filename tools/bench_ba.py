@@ -9,6 +9,9 @@ BENCH_NOTES.md), and compares with the XLA cost-analysis roofline.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

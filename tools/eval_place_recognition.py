@@ -22,6 +22,9 @@ Usage: python tools/eval_place_recognition.py [--frames 340]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 

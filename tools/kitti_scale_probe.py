@@ -1,0 +1,172 @@
+"""KITTI-shaped long run at PRODUCTION budgets (VERDICT r2 next #2).
+
+BASELINE.json config-3 regime: 1241x376 frames, 2,000 features, forward
+driving with smooth 90-degree turns (kind="kitti" corridor world), sensor
+noise + exposure jitter, k_max=256 / l_max=16384 (the SlamConfig defaults —
+i.e. the production map budgets, not the 48-slot toy sizes of the recycling
+e2e). Records ATE relative to path length, tracked fraction, and wall-ms of
+the host-side paths that scale with K and L (`Tracking._local_map_landmarks`,
+`SlamMap.covisibility`, `LocalMapper.cull_keyframes` — VERDICT r2 #2 named
+exactly these three).
+
+Reference intent: the per-frame pipeline surviving full sequences
+(/root/reference/src/Tracking.cpp:84-155) and unbounded map growth
+(/root/reference/include/Map.h:28-29).
+
+Usage: python tools/kitti_scale_probe.py [--frames 500] [--cpu] [--json-out F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(n_frames: int, n_features: int = 2000, seed: int = 3):
+    """Shared by the slow test and this probe: sequence + config."""
+    from orbslam_in_practice_tpu.config import SlamConfig
+    from orbslam_in_practice_tpu.io.synthetic import SyntheticSequence
+
+    seq = SyntheticSequence(
+        n_frames=n_frames,
+        n_points=3000,
+        width=1241,
+        height=376,
+        fx=718.0,
+        fy=718.0,
+        kind="kitti",
+        step=0.12,  # ~0.12 m/frame against 5-20 m facades: KITTI-like
+        seed=seed,
+        depth_range=(5.0, 20.0),
+        spread=(10.0, 3.0),
+        size_range=(0.3, 1.2),
+        noise_sigma=2.0,
+        brightness_jitter=0.08,  # multiplicative exposure-gain jitter
+    )
+    cfg = SlamConfig(
+        fx=718.0,
+        fy=718.0,
+        cx=1241 / 2,
+        cy=376 / 2,
+        width=1241,
+        height=376,
+        n_features=n_features,
+        n_levels=4,
+        fps=10.0,
+        # k_max=256 / l_max=16384 are the defaults — production budgets
+        local_window=8,
+    )
+    return seq, cfg
+
+
+def run(n_frames: int, n_features: int = 2000, seed: int = 3):
+    from orbslam_in_practice_tpu.io.evaluation import ate_rmse
+    from orbslam_in_practice_tpu.slam.tracking import TrackingState
+    from orbslam_in_practice_tpu.system import SlamSystem
+
+    seq, cfg = build(n_frames, n_features, seed)
+    system = SlamSystem(cfg)
+    tr = system.tracker
+
+    # wall-clock the K/L-scaling host paths
+    stage_ms: dict = {k: [] for k in ("local_map_landmarks", "covisibility", "cull_keyframes")}
+
+    def wrap(obj, name, label):
+        orig = getattr(obj, name)
+
+        def wrapped(*a, **k):
+            t0 = time.perf_counter()
+            out = orig(*a, **k)
+            stage_ms[label].append((time.perf_counter() - t0) * 1e3)
+            return out
+
+        setattr(obj, name, wrapped)
+
+    wrap(tr, "_local_map_landmarks", "local_map_landmarks")
+    wrap(system.map, "covisibility", "covisibility")
+    wrap(tr.mapper, "cull_keyframes", "cull_keyframes")
+
+    n_tracked = 0
+    frame_ms = []
+    t_start = time.perf_counter()
+    for i in range(n_frames):
+        img = seq.render(i)
+        t0 = time.perf_counter()
+        pose = system.track_monocular(img, i * 0.1)
+        frame_ms.append((time.perf_counter() - t0) * 1e3)
+        if pose is not None and tr.state == TrackingState.OK:
+            n_tracked += 1
+    wall = time.perf_counter() - t_start
+
+    gt = seq.gt_centers()
+    rmse, n_aligned, _ = ate_rmse(system.get_trajectory(), gt)
+    path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    stats = system.map.stats()
+    result = {
+        "frames": n_frames,
+        "n_features": n_features,
+        "resolution": [1241, 376],
+        "k_max": cfg.k_max,
+        "l_max": cfg.l_max,
+        "tracked_fraction": n_tracked / n_frames,
+        "ate_rmse": float(rmse),
+        "path_length_m": path_len,
+        "ate_pct_of_path": 100.0 * float(rmse) / path_len,
+        "n_aligned": int(n_aligned),
+        "fps_slam_only": n_frames / (sum(frame_ms) / 1e3),
+        "wall_s_incl_render": wall,
+        "map": {k: v for k, v in stats.items() if np.isscalar(v)},
+        "host_stage_ms": {
+            k: {
+                "mean": float(np.mean(v)) if v else 0.0,
+                "p95": float(np.percentile(v, 95)) if v else 0.0,
+                "max": float(np.max(v)) if v else 0.0,
+                "calls": len(v),
+            }
+            for k, v in stage_ms.items()
+        },
+    }
+    return result, system
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--features", type=int, default=2000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        try:
+            import jax._src.xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    result, _ = run(args.frames, args.features)
+    print(json.dumps(result, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,6 +3,9 @@
 Usage: JAX_PLATFORMS=cpu python tools/long_seq_probe.py [n_frames]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -14,6 +14,9 @@ Usage: timeout 3000 python tools/profile_mapping.py [--frames 60]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
@@ -24,11 +27,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="run on the local CPU backend (the whole-system baseline for "
+        "the >=3x north-star ratio — same workload, same code path)",
+    )
     args = ap.parse_args()
 
+    if args.cpu:
+        import os as _os
+
+        _os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
+    if args.cpu:
+        try:
+            import jax._src.xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from orbslam_in_practice_tpu.config import SlamConfig
@@ -89,6 +112,7 @@ def main():
         "backend": jax.default_backend(),
         "frames": args.frames,
         "fps_end_to_end": args.frames / wall,
+        "fps_slam_only": args.frames / sum(per_frame),
         "n_keyframes": len(kf_frames),
         "median_tracking_frame_ms": 1e3 * float(np.median([d for d in per_frame if d not in kf_frames])) if track_frames else 0.0,
         "median_keyframe_frame_ms": 1e3 * float(np.median(kf_frames)) if kf_frames else 0.0,
