@@ -120,8 +120,12 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
+                # 4 trials x 3 calls: the r1->r2 headline ratio swung ~12%
+                # purely from run-to-run jitter at trials=2 on this shared
+                # container (VERDICT r2 weak #9); more best-of sampling
+                # stabilizes the denominator
                 baseline_fps = _bench_on_default_device(
-                    use_pallas=False, n_calls=2, trials=2
+                    use_pallas=False, n_calls=3, trials=4
                 )
             baseline_source = "measured_in_run"
         except Exception:

@@ -54,14 +54,24 @@ def _pad_to(x, n, fill=0):
 @jax.jit
 def _landmark_invariants(
     lm_pos: jnp.ndarray,  # (L, 3)
-    obs_kf_pose: jnp.ndarray,  # (L, O_MAX, 4, 4)
-    obs_desc: jnp.ndarray,  # (L, O_MAX, 256) int8
-    obs_octave: jnp.ndarray,  # (L, O_MAX)
+    kf_pose_tbl: jnp.ndarray,  # (K, 4, 4) device mirror
+    kf_desc_tbl: jnp.ndarray,  # (K, F, 256) int8 device mirror (row policy)
+    kf_oct_tbl: jnp.ndarray,  # (K, F) int32 device mirror (row policy)
+    obs_kf: jnp.ndarray,  # (L, O_MAX) int32 observing KF slot (0-padded)
+    obs_feat: jnp.ndarray,  # (L, O_MAX) int32 feature index (0-padded)
     obs_valid: jnp.ndarray,  # (L, O_MAX)
     scale_factor: jnp.ndarray,
     n_levels: jnp.ndarray,
 ):
     """Normals, distance invariants, distinctive descriptors (batched).
+
+    Observation poses/descriptors/octaves are gathered ON DEVICE from the
+    map's keyframe mirrors (row-policy, so they are resident and fresh):
+    the call uploads only (L, O_MAX) index arrays — ~56 KB — instead of the
+    ~1.9 MB of gathered pose/descriptor payload the round-3a version pushed
+    through the ~49 MB/s relay on every refresh (3x per keyframe). Padding
+    indices gather keyframe 0's real rows; every use is masked by obs_valid
+    and the host writes back only rows with has_obs.
 
     Normal: mean unit vector from observing camera centers to the point.
     Distance range: from the LAST observation's octave, ORB-SLAM convention
@@ -69,6 +79,9 @@ def _landmark_invariants(
     Distinctive descriptor: the observation descriptor minimizing the median
       Hamming distance to the other observations.
     """
+    obs_kf_pose = kf_pose_tbl[obs_kf]  # (L, O, 4, 4)
+    obs_desc = kf_desc_tbl[obs_kf, obs_feat]  # (L, O, 256)
+    obs_octave = kf_oct_tbl[obs_kf, obs_feat]  # (L, O)
     R = obs_kf_pose[..., :3, :3]
     t = obs_kf_pose[..., :3, 3]
     centers = -jnp.einsum("loji,loj->loi", R, t)  # (L, O, 3) camera centers (world)
@@ -155,8 +168,9 @@ def _triangulate_pairs(
 
 @jax.jit
 def _match_triangulate_neighbors(
-    T1, xy1, desc1, free1, oct1, angle1,
-    nb_T, nb_xy, nb_desc, nb_free, nb_oct, nb_angle, nb_th,
+    T1, xy1, free1, oct1, angle1,
+    nb_T, nb_xy, nb_free, nb_oct, nb_angle, nb_th,
+    kf_desc_tbl, kf1_idx, nb_idx,
     K, inv_level_sigma2, inv_s2_feat,
 ):
     """CreateNewMapPoints' per-neighbor epipolar match + triangulation,
@@ -164,9 +178,17 @@ def _match_triangulate_neighbors(
     one transfer for the whole stage. Unused lanes carry all-False free
     masks and fall out as no matches.
 
-    Returns (matches (NB, F), Xw (NB, F, 3), accept (NB, F))."""
+    Descriptors are gathered ON DEVICE from the keyframe descriptor mirror
+    (row policy, resident): the call uploads neighbor INDICES instead of
+    ~1.6 MB of (NB+1, F, 256) int8 descriptors per keyframe through the
+    ~49 MB/s relay. Padding lanes gather row 0's real descriptors — inert,
+    their free masks are all-False.
 
-    def per_nb(T2, xy2, desc2, free2, oct2, angle2, th):
+    Returns (matches (NB, F), Xw (NB, F, 3), accept (NB, F))."""
+    desc1 = kf_desc_tbl[kf1_idx]
+
+    def per_nb(T2, xy2, free2, oct2, angle2, th, nbi):
+        desc2 = kf_desc_tbl[nbi]
         F12 = fundamental_from_poses(T1, T2, K)
         m = epipolar_match_kf(
             xy1, desc1, free1, oct1,
@@ -180,21 +202,25 @@ def _match_triangulate_neighbors(
         )
         return m, Xw, accept
 
-    return jax.vmap(per_nb)(nb_T, nb_xy, nb_desc, nb_free, nb_oct, nb_angle, nb_th)
+    return jax.vmap(per_nb)(nb_T, nb_xy, nb_free, nb_oct, nb_angle, nb_th, nb_idx)
 
 
 @jax.jit
 def _fuse_match_neighbors(
     pts, desc, valid, octv,
-    nb_T, nb_xy, nb_desc, nb_fv, nb_oct, nb_angle,
+    nb_T, nb_xy, nb_fv, nb_oct, nb_angle,
+    kf_desc_tbl, nb_idx,
     K, scale_factors,
 ):
     """ORBmatcher::Fuse's projection matching vmapped over a fixed set of
-    neighbor keyframes — one device program, one transfer.
+    neighbor keyframes — one device program, one transfer. Neighbor
+    descriptors are gathered on device from the keyframe descriptor mirror
+    (row policy, resident) — indices go up the relay, not ~1.3 MB of int8.
     Returns matches (NB, F) into each neighbor's features."""
     F = nb_xy.shape[1]
 
-    def per_nb(T, xy, d, fv, oc, ang):
+    def per_nb(T, xy, fv, oc, ang, nbi):
+        d = kf_desc_tbl[nbi]
         frame = Frame(
             xy=xy, xy_raw=xy, octave=oc, angle=ang,
             response=jnp.zeros(F, jnp.float32), valid=fv,
@@ -206,7 +232,7 @@ def _fuse_match_neighbors(
         )
         return m
 
-    return jax.vmap(per_nb)(nb_T, nb_xy, nb_desc, nb_fv, nb_oct, nb_angle)
+    return jax.vmap(per_nb)(nb_T, nb_xy, nb_fv, nb_oct, nb_angle, nb_idx)
 
 
 class LocalMapper:
@@ -245,14 +271,9 @@ class LocalMapper:
         kf_idx, feat_idx, which = smap.observations_of(lm_ids)
         L_real = len(lm_ids)
         L = max(64, int(2 ** np.ceil(np.log2(L_real))))
-        obs_pose = np.zeros((L, O_MAX, 4, 4), np.float32)
-        obs_pose[:, :, range(4), range(4)] = 1.0
-        obs_desc = np.zeros((L, O_MAX, 256), np.int8)
-        obs_oct = np.zeros((L, O_MAX), np.int32)
+        obs_kf = np.zeros((L, O_MAX), np.int32)
+        obs_feat = np.zeros((L, O_MAX), np.int32)
         obs_val = np.zeros((L, O_MAX), bool)
-        kf_pose_h = smap.hview("kf_pose")
-        desc_h = smap.hview("kf_desc_pm1")
-        oct_h = smap.hview("kf_octave")
         # vectorized grouping: slot = rank of each observation within its
         # landmark group (stable sort keeps observation order)
         if len(which):
@@ -266,20 +287,21 @@ class LocalMapper:
             keep = slot < O_MAX
             li = sw[keep]
             sl = slot[keep]
-            ko = kf_idx[order][keep]
-            fo = feat_idx[order][keep]
-            obs_pose[li, sl] = kf_pose_h[ko]
-            obs_desc[li, sl] = desc_h[ko, fo]
-            obs_oct[li, sl] = oct_h[ko, fo]
+            obs_kf[li, sl] = kf_idx[order][keep]
+            obs_feat[li, sl] = feat_idx[order][keep]
             obs_val[li, sl] = True
         has_obs = obs_val.any(axis=1)
         lm_pos_pad = np.zeros((L, 3), np.float32)
         lm_pos_pad[:L_real] = smap.hview("lm_pos")[lm_ids]
+        # poses/descriptors/octaves gathered on device from the kf mirrors
+        # (row-policy: resident and fresh) — only indices go up the relay
         outs = _landmark_invariants(
             jnp.asarray(lm_pos_pad),
-            jnp.asarray(obs_pose),
-            jnp.asarray(obs_desc),
-            jnp.asarray(obs_oct),
+            smap.kf_pose,
+            smap.kf_desc_pm1,
+            smap.kf_octave,
+            jnp.asarray(obs_kf),
+            jnp.asarray(obs_feat),
             jnp.asarray(obs_val),
             jnp.asarray(self.cfg.scale_factor, jnp.float32),
             jnp.asarray(self.cfg.n_levels, jnp.int32),
@@ -352,11 +374,11 @@ class LocalMapper:
         free1 = feat_valid_h & (obs_all[kf_id] < 0)
         nb_T = np.tile(np.eye(4, dtype=np.float32), (NB, 1, 1))
         nb_xy = np.zeros((NB, F, 2), np.float32)
-        nb_desc = np.zeros((NB, F, 256), np.int8)
         nb_free = np.zeros((NB, F), bool)
         nb_oct = np.zeros((NB, F), np.int32)
         nb_angle = np.zeros((NB, F), np.float32)
         nb_th = np.full(NB, TH_LOW, np.int32)
+        nb_idx = np.zeros(NB, np.int32)  # pad lanes gather row 0: inert (free all-False)
         fv_all = smap.hview("kf_feat_valid")
         xy_all = smap.hview("kf_xy")
         desc_all = smap.hview("kf_desc_pm1")
@@ -365,28 +387,29 @@ class LocalMapper:
         for i, (nb, T2, epi_th) in enumerate(lanes):
             nb_T[i] = T2
             nb_xy[i] = xy_all[nb]
-            nb_desc[i] = desc_all[nb]
             nb_free[i] = fv_all[nb] & (obs_all[nb] < 0)
             nb_oct[i] = oct_all[nb]
             nb_angle[i] = angle_all[nb]
             nb_th[i] = epi_th
+            nb_idx[i] = nb
         oct1 = oct_all[kf_id]
 
         m_all, Xw_all, acc_all = jax.device_get(
             _match_triangulate_neighbors(
                 jnp.asarray(T1),
                 jnp.asarray(xy_all[kf_id]),
-                jnp.asarray(desc_all[kf_id]),
                 jnp.asarray(free1),
                 jnp.asarray(oct1),
                 jnp.asarray(angle_all[kf_id]),
                 jnp.asarray(nb_T),
                 jnp.asarray(nb_xy),
-                jnp.asarray(nb_desc),
                 jnp.asarray(nb_free),
                 jnp.asarray(nb_oct),
                 jnp.asarray(nb_angle),
                 jnp.asarray(nb_th),
+                smap.kf_desc_pm1,
+                jnp.asarray(kf_id, jnp.int32),
+                jnp.asarray(nb_idx),
                 jnp.asarray(self.cfg.cam.K),
                 jnp.asarray(inv_s2),
                 jnp.asarray(inv_s2[oct1.clip(0, len(inv_s2) - 1)]),
@@ -567,18 +590,18 @@ class LocalMapper:
         F = smap.f_max
         nb_T = np.tile(np.eye(4, dtype=np.float32), (NB, 1, 1))
         nb_xy = np.zeros((NB, F, 2), np.float32)
-        nb_desc = np.zeros((NB, F, 256), np.int8)
         nb_fv = np.zeros((NB, F), bool)
         nb_oct = np.zeros((NB, F), np.int32)
         nb_angle = np.zeros((NB, F), np.float32)
+        nb_idx = np.zeros(NB, np.int32)  # pad lanes: row 0, inert (fv all-False)
         kf_pose_h = smap.hview("kf_pose")
         for i, nb in enumerate(neighbors):
             nb_T[i] = kf_pose_h[nb]
             nb_xy[i] = smap.hview("kf_xy")[nb]
-            nb_desc[i] = smap.hview("kf_desc_pm1")[nb]
             nb_fv[i] = smap.hview("kf_feat_valid")[nb]
             nb_oct[i] = smap.hview("kf_octave")[nb]
             nb_angle[i] = smap.hview("kf_angle")[nb]
+            nb_idx[i] = nb
         lm_pos_h = smap.hview("lm_pos")
         m_all = np.asarray(
             _fuse_match_neighbors(
@@ -588,10 +611,11 @@ class LocalMapper:
                 jnp.asarray(smap.hview("lm_octave")[ids_pad]),
                 jnp.asarray(nb_T),
                 jnp.asarray(nb_xy),
-                jnp.asarray(nb_desc),
                 jnp.asarray(nb_fv),
                 jnp.asarray(nb_oct),
                 jnp.asarray(nb_angle),
+                smap.kf_desc_pm1,
+                jnp.asarray(nb_idx),
                 jnp.asarray(self.cfg.cam.K),
                 jnp.asarray(self.scale_factors),
             )

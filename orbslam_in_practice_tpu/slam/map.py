@@ -83,14 +83,20 @@ def _row_set(arr: jnp.ndarray, k: jnp.ndarray, row: jnp.ndarray):
 
 
 # device-mirrored tables: name -> np dtype; all are whole-table refreshed
-# except kf_desc_pm1 (row policy — see class docstring)
+# except the per-keyframe FEATURE tables (row policy — see class docstring).
+# Those five are mutated only one row at a time (insert_keyframe /
+# remove_keyframe), so refreshing their mirrors is a handful of row-set
+# programs instead of re-uploading megabytes through the relay (~49 MB/s
+# measured, BENCH_NOTES.md round 3) — which lets the mapping kernels read
+# them as device-resident tables for free. kf_obs stays whole-table: it is
+# scatter-mutated across arbitrary rows (fusion, erasure, culling).
 _MIRRORED = (
     "kf_pose", "kf_valid", "kf_xy", "kf_octave", "kf_angle",
     "kf_feat_valid", "kf_desc_pm1", "kf_obs",
     "lm_pos", "lm_valid", "lm_desc_pm1", "lm_normal",
     "lm_min_dist", "lm_max_dist", "lm_octave",
 )
-_ROW_POLICY = {"kf_desc_pm1"}
+_ROW_POLICY = {"kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid"}
 
 
 class SlamMap:
@@ -263,11 +269,9 @@ class SlamMap:
         seen = obs_row[obs_row >= 0]
         np.add.at(self.lm_obs_count, seen, 1)
         self.next_kf_id += 1
-        self._touch(
-            "kf_pose", "kf_valid", "kf_xy", "kf_octave", "kf_angle",
-            "kf_feat_valid", "kf_obs",
-        )
-        self._touch_row("kf_desc_pm1", k)
+        self._touch("kf_pose", "kf_valid", "kf_obs")
+        for n in ("kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid"):
+            self._touch_row(n, k)
         self._invalidate_caches()
         return k
 
@@ -464,7 +468,8 @@ class SlamMap:
         self.kf_seq[kf_id] = -1
         self.kf_frame_id[kf_id] = -1
         self._kf_free.append(int(kf_id))
-        self._touch("kf_valid", "kf_obs", "kf_feat_valid")
+        self._touch("kf_valid", "kf_obs")
+        self._touch_row("kf_feat_valid", kf_id)
         self._invalidate_caches()
         # re-anchor landmarks whose reference keyframe this was (loop closure
         # corrects landmarks through lm_first_kf — a dangling anchor would

@@ -105,18 +105,25 @@ def main():
     report("extractor 640x480 / 800 feat / 4 lvl", ms, rep)
 
     # --- hamming matrix -------------------------------------------------
+    # NOTE: a fake data dependence (x * where(s==0,1,1)) is a constant
+    # multiply XLA simplifies away, hoisting the hamming out of the loop —
+    # the first version of this bench measured 0.0004 ms, BELOW the memory
+    # bound. Index a DIFFERENT query matrix per iteration instead (the
+    # bench.py stacked-batch idiom): sequential fori_loop + varying input
+    # means nothing is loop-invariant.
     for (N, M) in ((800, 800), (800, 4096)):
-        a = jnp.asarray(rng.integers(0, 2, (N, 256)) * 2 - 1, jnp.int8)
+        R = 8
+        a_stack = jnp.asarray(rng.integers(0, 2, (R, N, 256)) * 2 - 1, jnp.int8)
+        a = a_stack[0]
         b = jnp.asarray(rng.integers(0, 2, (M, 256)) * 2 - 1, jnp.int8)
 
-        def ham_step(carry, i, a=a, b=b):
-            x, acc = carry
+        def ham_step(carry, i, a_stack=a_stack, b=b):
+            acc = carry
+            x = lax.dynamic_index_in_dim(a_stack, i % R, axis=0, keepdims=False)
             d = hamming_matrix(x, b)
-            # flip one descriptor bit pattern's sign based on the result
-            s = (jnp.sum(d) % 2).astype(jnp.int8)
-            return x * jnp.where(s == 0, 1, 1).astype(jnp.int8), acc + jnp.sum(d)
+            return acc + jnp.sum(d)
 
-        ms = timed_chain(ham_step, (a, jnp.int32(0)), reps=50)
+        ms = timed_chain(ham_step, jnp.int32(0), reps=50)
         rep = speed_of_light_report(lambda x, y: hamming_matrix(x, y), a, b)
         report(f"hamming_matrix {N}x{M}", ms, rep)
 
