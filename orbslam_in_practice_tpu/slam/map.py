@@ -97,6 +97,23 @@ _MIRRORED = (
     "lm_min_dist", "lm_max_dist", "lm_octave",
 )
 _ROW_POLICY = {"kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid"}
+# Landmark tables use BATCHED row policy: every mutation carries an explicit
+# id list (add/erase/invariant-refresh/position write-back), typically a few
+# hundred rows per keyframe against an l_max x 256 descriptor table whose
+# whole-table refresh is ~4 MB through the ~49 MB/s relay. The dirty id set
+# is applied as ONE bucket-padded scatter program per table; a mutation
+# touching more than l_max/4 rows promotes to a whole-table refresh.
+_BATCH_ROW_POLICY = {
+    "lm_pos", "lm_valid", "lm_desc_pm1", "lm_normal",
+    "lm_min_dist", "lm_max_dist", "lm_octave",
+}
+
+
+@jax.jit
+def _rows_set(arr: jnp.ndarray, ks: jnp.ndarray, rows: jnp.ndarray):
+    """ONE cached program per (table, bucket) shape for scattering a padded
+    batch of rows (duplicate padded indices carry identical rows)."""
+    return arr.at[ks].set(rows)
 
 
 class SlamMap:
@@ -150,7 +167,9 @@ class SlamMap:
         # device-mirror state
         self._dev: dict = {}
         self._dirty = set(_MIRRORED)
-        self._dirty_rows: dict = {n: set() for n in _ROW_POLICY}
+        self._dirty_rows: dict = {
+            n: set() for n in (_ROW_POLICY | _BATCH_ROW_POLICY)
+        }
 
     # ---------------- device mirrors ----------------
 
@@ -159,13 +178,23 @@ class SlamMap:
         if name in self._dirty or name not in self._dev:
             self._dev[name] = jnp.asarray(host)
             self._dirty.discard(name)
-            if name in _ROW_POLICY:
+            if name in self._dirty_rows:
                 self._dirty_rows[name].clear()
         elif name in _ROW_POLICY and self._dirty_rows[name]:
             dev = self._dev[name]
             for k in sorted(self._dirty_rows[name]):
                 dev = _row_set(dev, jnp.asarray(k), jnp.asarray(host[k]))
             self._dev[name] = dev
+            self._dirty_rows[name].clear()
+        elif name in _BATCH_ROW_POLICY and self._dirty_rows[name]:
+            ids = np.fromiter(self._dirty_rows[name], np.int32)
+            ids.sort()
+            B = max(64, int(2 ** np.ceil(np.log2(len(ids)))))
+            ids_pad = np.full(B, ids[0], np.int32)
+            ids_pad[: len(ids)] = ids
+            self._dev[name] = _rows_set(
+                self._dev[name], jnp.asarray(ids_pad), jnp.asarray(host[ids_pad])
+            )
             self._dirty_rows[name].clear()
         return self._dev[name]
 
@@ -178,6 +207,19 @@ class SlamMap:
         if name in self._dirty:
             return  # full refresh already pending
         self._dirty_rows[name].add(int(k))
+
+    def _touch_rows(self, ids, *names: str):
+        """Mark a batch of rows dirty on batched-row-policy tables; a batch
+        larger than l_max/4 promotes to a whole-table refresh."""
+        idl = [int(i) for i in np.asarray(ids).ravel()]
+        for n in names:
+            if n in self._dirty:
+                continue
+            rows = self._dirty_rows[n]
+            rows.update(idl)
+            if len(rows) > self.l_max // 4:
+                self._dirty.add(n)
+                rows.clear()
 
     def hview(self, name: str) -> np.ndarray:
         """The numpy host truth of a mirrored table — READ-ONLY by contract
@@ -336,14 +378,15 @@ class SlamMap:
         v = np.ones(len(ids), bool) if valid_mask is None else np.asarray(valid_mask)
         self._lm_valid[ids] = v
         self.lm_first_kf[ids] = first_kf
-        self._touch(
+        self._touch_rows(
+            ids,
             "lm_pos", "lm_desc_pm1", "lm_normal", "lm_octave",
             "lm_min_dist", "lm_max_dist", "lm_valid",
         )
 
     def set_landmark_positions(self, ids, pos):
         self._lm_pos[np.asarray(ids)] = np.asarray(pos, np.float32)
-        self._touch("lm_pos")
+        self._touch_rows(ids, "lm_pos")
 
     def write_landmark_invariants(
         self, ids, normal, min_dist, max_dist, desc_pm1, octave, upd
@@ -360,8 +403,9 @@ class SlamMap:
         self._lm_max_dist[ids] = np.asarray(max_dist, np.float32)[sel]
         self._lm_desc_pm1[ids] = np.asarray(desc_pm1, np.int8)[sel]
         self._lm_octave[ids] = np.asarray(octave, np.int32)[sel]
-        self._touch(
-            "lm_normal", "lm_min_dist", "lm_max_dist", "lm_desc_pm1", "lm_octave"
+        self._touch_rows(
+            ids,
+            "lm_normal", "lm_min_dist", "lm_max_dist", "lm_desc_pm1", "lm_octave",
         )
 
     def erase_landmarks(self, ids: np.ndarray):
@@ -377,7 +421,8 @@ class SlamMap:
         obs_bad = (self._kf_obs >= 0) & is_bad[np.maximum(self._kf_obs, 0)]
         self._kf_obs[obs_bad] = -1
         self._free_landmark_slots(ids)
-        self._touch("lm_valid", "kf_obs")
+        self._touch_rows(ids, "lm_valid")
+        self._touch("kf_obs")
         self._invalidate_caches()
 
     def _gc_orphan_landmarks(self, candidate_ids: np.ndarray):
@@ -391,7 +436,7 @@ class SlamMap:
             return
         self._lm_valid[orphan] = False
         self._free_landmark_slots(orphan)
-        self._touch("lm_valid")
+        self._touch_rows(orphan, "lm_valid")
 
     def add_observations(self, kf_id: int, feat_idx: np.ndarray, lm_ids: np.ndarray):
         """Bind landmark ids to keyframe features (MapPoint::AddObservation +
@@ -547,7 +592,7 @@ class SlamMap:
             self.lm_obs_count[winner] += int((~drop).sum())
             self._touch("kf_obs")
         self._lm_valid[loser] = False
-        self._touch("lm_valid")
+        self._touch_rows([loser], "lm_valid")
         self._free_landmark_slots(np.asarray([loser]))
         self._invalidate_caches()
 
