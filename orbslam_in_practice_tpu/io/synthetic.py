@@ -227,6 +227,43 @@ class SyntheticSequence:
                 + d * fwd[:, None]
             ).astype(np.float32)
             self.pts[:, 1] = h
+            # CORNER structure (VERDICT r3 missing #2 / round-3 diagnosis):
+            # lateral facades alone leave the intersection diagonals empty —
+            # mid-turn the camera faces the GAP between the two streets'
+            # facade rows exactly when the old street leaves the FOV, and
+            # tracking starves. Real intersections have the building across
+            # the T-junction: for stations whose heading changes over the
+            # next ~22 frames, respawn a fraction of quads AHEAD along the
+            # mid-turn viewing direction (the "wall you drive toward").
+            dirs_f = centers_w[1:] - centers_w[:-1]
+            dirs_f = np.concatenate([dirs_f, dirs_f[-1:]], axis=0)
+            dirs_f = dirs_f / np.maximum(
+                np.linalg.norm(dirs_f, axis=-1, keepdims=True), 1e-6
+            )
+            look = 22
+            ahead = np.minimum(np.arange(n_frames) + look, n_frames - 1)
+            cos_turn = np.sum(dirs_f * dirs_f[ahead], axis=-1)
+            turny = cos_turn < np.cos(0.25)  # >14 deg heading change coming
+            frontal = turny[station] & (rng.uniform(size=n_points) < 0.6)
+            if frontal.any():
+                mid = dirs_f[station] + dirs_f[ahead[station]]
+                mid = mid / np.maximum(
+                    np.linalg.norm(mid, axis=-1, keepdims=True), 1e-6
+                )
+                dist = rng.uniform(
+                    depth_range[0], depth_range[1], n_points
+                )
+                jit = rng.uniform(-3.0, 3.0, n_points)
+                p_f = (
+                    centers_w[station]
+                    + mid * dist[:, None]
+                    + np.stack(
+                        [mid[:, 2], np.zeros(n_points), -mid[:, 0]], -1
+                    )
+                    * jit[:, None]
+                )
+                self.pts[frontal] = p_f[frontal].astype(np.float32)
+                self.pts[:, 1] = h
             self._station = station
         else:
             self.pts = np.stack(

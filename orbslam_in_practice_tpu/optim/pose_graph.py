@@ -3,9 +3,16 @@
 Capability absent from the reference (SURVEY.md §2.1: "essential-graph
 optimization absent"); original ORB-SLAM runs g2o OptimizeEssentialGraph
 after a loop closure. Here: Gauss-Newton on Sim3 vertices with relative-pose
-edges, Jacobians by jax.jacfwd of the stacked residual at the current
-linearization point (the graph is small — hundreds of vertices — so the
-dense normal equations are cheap and TPU-friendly).
+edges.
+
+Jacobians are PER-EDGE: each edge's 7-d residual depends on exactly two
+vertices, so its Jacobian is two (7, 7) blocks — computed by jacfwd of the
+per-edge residual vmapped over edges (14 JVPs per edge), then scatter-added
+into the dense normal matrix. The round-1..3 version differentiated the
+STACKED residual (jacfwd over all K*7 variables — K*7 full-graph passes per
+iteration, (E*7, K*7) dense J); at production K=256 that is ~128x more
+Jacobian work for the same GN step (VERDICT r3 weak #6). The (K*7)^2 solve
+stays dense — at K=256 it is a 1792^2 system, MXU-friendly.
 
 Convention: vertex i holds S_iw (world -> keyframe i). An edge (i, j) with
 measurement S_ji_meas (= S_jw S_iw^-1 at measurement time) has residual
@@ -27,13 +34,17 @@ from orbslam_in_practice_tpu.geometry.sim3_lie import (
 )
 
 
-def _residuals(deltas, S_vertices, edge_i, edge_j, S_meas):
-    """deltas: (K, 7) tangent updates; returns (E, 7) residuals."""
-    S = exp_sim3(deltas) @ S_vertices  # (K, 4, 4)
-    Si = S[edge_i]
-    Sj = S[edge_j]
-    err = S_meas @ Si @ sim3_inverse(Sj)
-    return log_sim3(err)
+def _edge_residual(d_i, d_j, S_i, S_j, S_m):
+    """Residual of ONE edge under tangent perturbations of its two
+    vertices: (7,), (7,), (4,4), (4,4), (4,4) -> (7,)."""
+    Si = exp_sim3(d_i) @ S_i
+    Sj = exp_sim3(d_j) @ S_j
+    return log_sim3(S_m @ Si @ sim3_inverse(Sj))
+
+
+# (E,7),(E,7),(E,4,4),(E,4,4),(E,4,4) -> ((E,7,7), (E,7,7))
+_edge_jacobians = jax.vmap(jax.jacfwd(_edge_residual, argnums=(0, 1)))
+_edge_residuals = jax.vmap(_edge_residual)
 
 
 @partial(jax.jit, static_argnames=("iterations",))
@@ -60,32 +71,48 @@ def optimize_pose_graph(
       (K, 4, 4) optimized Sim3 vertices.
     """
     n = S_vertices.shape[0]
+    n_e = edge_i.shape[0]
     dtype = S_vertices.dtype
     free = (~fixed).astype(dtype)[:, None]
+    free_flat = jnp.repeat(free[:, 0], 7)
 
     def gn_step(_, state):
         S, lam = state
-
-        def res_flat(deltas):
-            return _residuals(deltas, S, edge_i, edge_j, S_meas).reshape(-1)
-
-        zero = jnp.zeros((n, 7), dtype)
-        r0 = res_flat(zero)  # (E*7,)
-        J = jax.jacfwd(res_flat)(zero).reshape(-1, n * 7)  # (E*7, K*7)
-        w = jnp.repeat(edge_weight, 7)
-        H = J.T @ (J * w[:, None])
-        g = -J.T @ (r0 * w)
+        zero_e = jnp.zeros((n_e, 7), dtype)
+        Si, Sj = S[edge_i], S[edge_j]
+        r0 = _edge_residuals(zero_e, zero_e, Si, Sj, S_meas)  # (E, 7)
+        Ji, Jj = _edge_jacobians(zero_e, zero_e, Si, Sj, S_meas)  # (E,7,7) x2
+        w = edge_weight
+        # block assembly of H = J^T W J and g = -J^T W r
+        Hii = jnp.einsum("eai,e,eaj->eij", Ji, w, Ji)
+        Hij = jnp.einsum("eai,e,eaj->eij", Ji, w, Jj)
+        Hjj = jnp.einsum("eai,e,eaj->eij", Jj, w, Jj)
+        gi = -jnp.einsum("eai,e,ea->ei", Ji, w, r0)
+        gj = -jnp.einsum("eai,e,ea->ei", Jj, w, r0)
+        Hb = (
+            jnp.zeros((n, n, 7, 7), dtype)
+            .at[edge_i, edge_i].add(Hii)
+            .at[edge_i, edge_j].add(Hij)
+            .at[edge_j, edge_i].add(jnp.swapaxes(Hij, -1, -2))
+            .at[edge_j, edge_j].add(Hjj)
+        )
+        H = Hb.transpose(0, 2, 1, 3).reshape(n * 7, n * 7)
+        g = (
+            jnp.zeros((n, 7), dtype).at[edge_i].add(gi).at[edge_j].add(gj)
+        ).reshape(-1)
         # gauge fixing
-        free_flat = jnp.repeat(free[:, 0], 7)
         H = H * free_flat[:, None] * free_flat[None, :]
         H = H + jnp.diag(1.0 - free_flat)
         g = g * free_flat
         H = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(n * 7, dtype=dtype)
         delta = jnp.linalg.solve(H, g).reshape(n, 7) * free
         S_new = exp_sim3(delta) @ S
-        cost_old = jnp.sum(r0 * r0 * w)
-        r_new = _residuals(jnp.zeros((n, 7), dtype), S_new, edge_i, edge_j, S_meas)
-        cost_new = jnp.sum(r_new.reshape(-1) ** 2 * w)
+        w7 = jnp.repeat(edge_weight, 7)
+        cost_old = jnp.sum(r0.reshape(-1) ** 2 * w7)
+        r_new = _edge_residuals(
+            zero_e, zero_e, S_new[edge_i], S_new[edge_j], S_meas
+        )
+        cost_new = jnp.sum(r_new.reshape(-1) ** 2 * w7)
         ok = jnp.isfinite(cost_new) & (cost_new < cost_old)
         S = jnp.where(ok, S_new, S)
         lam = jnp.where(ok, lam * 0.5, lam * 4.0)

@@ -43,6 +43,13 @@ from orbslam_in_practice_tpu.optim.ba import (
 O_MAX = 12  # max observations per landmark used in invariants / local BA
 
 
+def _bucket(n: int, floor: int, cap: int) -> int:
+    """Smallest power-of-2 bucket >= n, floored at `floor`, capped at `cap`
+    (one jit compile per bucket — bounded cache growth)."""
+    b = max(floor, int(2 ** np.ceil(np.log2(max(n, 1)))))
+    return min(b, cap)
+
+
 def _pad_to(x, n, fill=0):
     x = np.asarray(x)
     if len(x) >= n:
@@ -244,10 +251,14 @@ class LocalMapper:
         self.scale_factors = np.array(
             [config.scale_factor**i for i in range(config.n_levels)], dtype=np.float32
         )
-        # padded local-BA shapes (stable jit cache)
+        # padded local-BA shapes (stable jit cache): *_floor is the bucket
+        # the steady state compiles once; mature maps grow the pad in
+        # power-of-2 buckets up to *_cap before anything is dropped
         self.ba_k = int(2 ** int(np.ceil(np.log2(max(4, config.local_window + 8)))))
-        self.ba_l = getattr(config, "ba_lm_budget", 2048)
-        self.ba_o = getattr(config, "ba_obs_budget", 8192)
+        self.ba_l_floor = getattr(config, "ba_lm_budget", 2048)
+        self.ba_o_floor = getattr(config, "ba_obs_budget", 8192)
+        self.ba_l_cap = max(getattr(config, "ba_lm_max", 8192), self.ba_l_floor)
+        self.ba_o_cap = max(getattr(config, "ba_obs_max", 32768), self.ba_o_floor)
         # (lm_id, lm_uid, created_at_seq) for culling — uid guards against
         # slot recycling, seq (not slot id) measures age
         self._recent_lms: list = []
@@ -263,8 +274,10 @@ class LocalMapper:
 
         Fixed-shape discipline (the profile_mapping.py lesson): L is padded
         to a power-of-2 bucket so the jitted kernel compiles once per bucket,
-        not once per call; inputs are gathered on the HOST (numpy truth, no
-        device round trips) and the 5 outputs come back in ONE device_get."""
+        not once per call. Observation INDEX arrays are built on the host and
+        uploaded; the pose/descriptor/octave payload is gathered ON DEVICE
+        from the keyframe mirrors (row policy — resident and fresh), and the
+        5 outputs come back in ONE device_get."""
         if len(lm_ids) == 0:
             return
         lm_ids = np.asarray(lm_ids)
@@ -429,7 +442,7 @@ class LocalMapper:
                 if len(ids) == 0:
                     continue
             claimed[new_feats] = True
-            # provisional invariants; refreshed below
+            # provisional invariants; refreshed at the end of the epoch
             smap.add_landmarks(
                 ids,
                 Xw_all[i][new_feats],
@@ -446,11 +459,6 @@ class LocalMapper:
                 (int(i_), int(smap.lm_uid[i_]), seq) for i_ in ids
             )
             n_created += len(ids)
-        if n_created:
-            new_ids = np.array(
-                [i for i, _, _ in self._recent_lms[-n_created:]], np.int32
-            )
-            self.refresh_landmarks(smap, new_ids)
         return n_created
 
     # ---------- local BA ----------
@@ -473,13 +481,16 @@ class LocalMapper:
         )
         if len(lm_ids) == 0:
             return
-        if len(lm_ids) > self.ba_l:
+        if len(lm_ids) > self.ba_l_cap:
+            # hard cap: keep the landmarks with the MOST observations (the
+            # strongest map structure), not the lowest slot ids
             self.n_ba_truncations += 1
             logging.getLogger("orbslam_tpu").warning(
-                "local BA landmark budget clipped: %d -> %d (kf %d)",
-                len(lm_ids), self.ba_l, kf_id,
+                "local BA landmark hard cap: %d -> %d (kf %d)",
+                len(lm_ids), self.ba_l_cap, kf_id,
             )
-        lm_ids = lm_ids[: self.ba_l]
+            order = np.argsort(-smap.lm_obs_count[lm_ids], kind="stable")
+            lm_ids = np.sort(lm_ids[order[: self.ba_l_cap]])
         kf_idx, feat_idx, which = smap.observations_of(lm_ids)
         # cameras: window (free) + others observing these landmarks (fixed)
         in_window = np.isin(kf_idx, window)
@@ -502,24 +513,39 @@ class LocalMapper:
         kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
         if len(kf_idx) == 0:
             return
-        if len(kf_idx) > self.ba_o:
+        obs_oct = smap.hview("kf_octave")[kf_idx, feat_idx]
+        # Order observations STRONGEST FIRST: window-camera observations
+        # (the poses being optimized), then by covisibility of the observing
+        # camera with the current KF, then finer octave. Every clip below —
+        # the hard observation cap AND the per-landmark o_max grouping (which
+        # keeps each landmark's first o_max entries) — then keeps the
+        # strongest edges instead of table-scan order (VERDICT r3 weak #3).
+        covis_w = covis[kf_id][kf_idx].astype(np.float64)
+        covis_w[in_window[keep]] += 1e9
+        order = np.lexsort((obs_oct, -covis_w))
+        kf_idx, feat_idx, which, obs_oct = (
+            kf_idx[order], feat_idx[order], which[order], obs_oct[order]
+        )
+        if len(kf_idx) > self.ba_o_cap:
             self.n_ba_truncations += 1
             logging.getLogger("orbslam_tpu").warning(
-                "local BA observation budget clipped: %d -> %d (kf %d)",
-                len(kf_idx), self.ba_o, kf_id,
+                "local BA observation hard cap: %d -> %d (kf %d)",
+                len(kf_idx), self.ba_o_cap, kf_id,
             )
-        n_obs = min(len(kf_idx), self.ba_o)
-        kf_idx, feat_idx, which = kf_idx[:n_obs], feat_idx[:n_obs], which[:n_obs]
+        n_obs = min(len(kf_idx), self.ba_o_cap)
+        kf_idx, feat_idx, which, obs_oct = (
+            kf_idx[:n_obs], feat_idx[:n_obs], which[:n_obs], obs_oct[:n_obs]
+        )
         obs_cam = np.array([cam_slot[int(k)] for k in kf_idx], np.int32)
         obs_uv = smap.hview("kf_xy")[kf_idx, feat_idx]
-        obs_oct = smap.hview("kf_octave")[kf_idx, feat_idx]
         inv_s2 = (1.0 / self.scale_factors**2)[obs_oct.clip(0, len(self.scale_factors) - 1)]
         # per-landmark observation budget: adapt to the actual max count
         # (bucketed for jit-cache stability); beyond the cap observations are
         # dropped consistently from BOTH halves of the normal equations
-        # (optim.ba.included_obs_mask) and counted here
+        # (optim.ba.included_obs_mask) — and, with the strength ordering
+        # above, the dropped ones are each landmark's WEAKEST edges
         max_count = int(np.bincount(which, minlength=1).max())
-        o_max = adaptive_o_max(max_count, O_MAX, cap=32)
+        o_max = adaptive_o_max(max_count, O_MAX, cap=48)
         dropped = count_obs_drops(which, len(lm_ids), o_max)
         if dropped:
             self.n_ba_obs_drops += dropped
@@ -529,8 +555,10 @@ class LocalMapper:
             )
 
         K_pad = self.ba_k
-        L_pad = self.ba_l
-        O_pad = self.ba_o
+        # padding buckets grow with the live problem (power-of-2, floored at
+        # the configured budget) so mature maps are not silently truncated
+        L_pad = _bucket(len(lm_ids), self.ba_l_floor, self.ba_l_cap)
+        O_pad = _bucket(n_obs, self.ba_o_floor, self.ba_o_cap)
         poses = np.tile(np.eye(4, dtype=np.float32), (K_pad, 1, 1))
         poses[: len(cams)] = smap.hview("kf_pose")[cams]
         points = np.zeros((L_pad, 3), np.float32)
@@ -565,7 +593,9 @@ class LocalMapper:
 
     # ---------- fusion ----------
 
-    def fuse_neighbors(self, smap, kf_id: int, n_neighbors: int = 5) -> int:
+    def fuse_neighbors(
+        self, smap, kf_id: int, n_neighbors: int = 5, neighbors=None
+    ) -> int:
         """SearchInNeighbors / ORBmatcher::Fuse semantics (absent in the
         reference — SURVEY.md §3.5): project the new KF's landmarks into its
         covisible neighbors; matched free features gain an observation;
@@ -574,11 +604,22 @@ class LocalMapper:
 
         All neighbors are matched in ONE vmapped device program with ONE
         transfer (same rationale as _match_triangulate_neighbors); the
-        merge bookkeeping stays host-side numpy."""
+        merge bookkeeping stays host-side numpy.
+
+        `neighbors` overrides the covisibility-derived set — loop closing
+        passes the loop candidate's neighborhood (the SearchAndFuse role:
+        merging the revisit's duplicate landmarks into the corrected
+        originals; without it the loop sides stay disjoint and tracking
+        re-drifts on the duplicates)."""
         covis = smap.covisibility()
         row = covis[kf_id]
-        order = np.argsort(-row)
-        neighbors = [int(i) for i in order[:n_neighbors] if row[i] >= 15 and i != kf_id]
+        if neighbors is None:
+            order = np.argsort(-row)
+            neighbors = [
+                int(i) for i in order[:n_neighbors] if row[i] >= 15 and i != kf_id
+            ]
+        else:
+            neighbors = [int(i) for i in neighbors[:n_neighbors] if i != kf_id]
         lm_ids = smap.keyframe_landmarks(kf_id)
         if len(lm_ids) == 0 or not neighbors:
             return 0
@@ -647,8 +688,6 @@ class LocalMapper:
                     smap.replace_landmark(ex, lm)
                 n_fused += 1
                 self.n_fuse_merges += 1
-        if n_fused:
-            self.refresh_landmarks(smap, smap.keyframe_landmarks(kf_id))
         return n_fused
 
     # ---------- culling ----------
@@ -745,9 +784,16 @@ class LocalMapper:
 
     def process_new_keyframe(self, smap, kf_id: int, cull_kfs: bool = True):
         """ProcessNewKeyFrame + the absent capabilities, in order
-        (ref src/LocalMapping.cpp:11-21 Run + SURVEY.md §3.5 gap list)."""
-        lm_ids = smap.keyframe_landmarks(kf_id)
-        self.refresh_landmarks(smap, lm_ids)
+        (ref src/LocalMapping.cpp:11-21 Run + SURVEY.md §3.5 gap list).
+
+        Invariant refreshes are BATCHED: one refresh program at the END of
+        the epoch over every landmark the epoch touched, instead of one per
+        stage (start + post-create + post-fuse). On the relay-fronted TPU
+        each device program costs ~45 ms of fixed latency (BENCH_NOTES r3),
+        so the keyframe path's stage COUNT is the dominant lever
+        (VERDICT r3 next #3); intermediate stages tolerate one-epoch-stale
+        invariants (create does not read them; fuse reads desc/dist gates
+        whose provisional values are permissive)."""
         self.cull_landmarks(smap, kf_id)
         self.create_new_points(smap, kf_id)
         self.fuse_neighbors(smap, kf_id)
@@ -755,3 +801,6 @@ class LocalMapper:
             self.local_ba(smap, kf_id)
         if cull_kfs and smap.n_kf_active() >= 8:
             self.cull_keyframes(smap, kf_id)
+        # one end-of-epoch refresh: the keyframe's (post-create/fuse/BA)
+        # landmark set, computed from post-BA geometry
+        self.refresh_landmarks(smap, smap.keyframe_landmarks(kf_id))

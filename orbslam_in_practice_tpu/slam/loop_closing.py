@@ -32,11 +32,61 @@ import numpy as np
 from orbslam_in_practice_tpu.frontend.matcher import match_descriptor_sets
 from orbslam_in_practice_tpu.geometry.sim3 import horn_sim3
 from orbslam_in_practice_tpu.optim.pose_graph import optimize_pose_graph
+from orbslam_in_practice_tpu.slam.place_recognition import (
+    center as place_center,
+)
 
 N_HYP = 128
 MIN_INLIERS = 20
+# first-round RANSAC support worth spending a guided-expansion round on
+BOOTSTRAP_INLIERS = 8
 # pixel chi2 gates, ORB-SLAM Sim3Solver convention (9.210 = chi2(2) @ 99%)
 PIX_CHI2 = 9.21
+
+
+@jax.jit
+def _guided_match(
+    p_src: jnp.ndarray,  # (N, 3) landmarks in SOURCE camera frame
+    desc_src: jnp.ndarray,  # (N, 256) ±1 landmark descriptors
+    valid_src: jnp.ndarray,  # (N,)
+    s, R, t,  # Sim3 source-cam -> dest-cam
+    xy_dst: jnp.ndarray,  # (F, 2) dest-KF feature pixels
+    desc_dst: jnp.ndarray,  # (F, 256) dest-KF feature descriptors
+    cand_dst: jnp.ndarray,  # (F,) dest features eligible (valid & landmark-bearing)
+    K: jnp.ndarray,
+    radius: jnp.ndarray,
+):
+    """Sim3-guided projection matching (the SearchBySim3 role of ORB-SLAM,
+    which the reference has no trace of): project source landmarks into the
+    destination keyframe under the current Sim3 estimate and match by
+    descriptor within a pixel radius, mutual-best (cross-checked).
+    Returns (N,) best destination feature per source landmark, -1 = none."""
+    pc = s * p_src @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = K[0, 0] * pc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / zs + K[1, 2]
+    d2 = (xy_dst[None, :, 0] - u[:, None]) ** 2 + (
+        xy_dst[None, :, 1] - v[:, None]
+    ) ** 2  # (N, F)
+    ham = (
+        256.0
+        - desc_src.astype(jnp.float32) @ desc_dst.astype(jnp.float32).T
+    ) * 0.5
+    ok = (
+        valid_src[:, None]
+        & cand_dst[None, :]
+        & (z[:, None] > 0)
+        & (d2 < radius * radius)
+        & (ham <= 100.0)
+    )
+    score = jnp.where(ok, ham, jnp.inf)
+    best = jnp.argmin(score, axis=1)  # (N,)
+    best_ok = jnp.isfinite(jnp.min(score, axis=1))
+    # mutual best: the chosen dest feature must choose this source back
+    best_of_dst = jnp.argmin(score, axis=0)  # (F,)
+    mutual = best_of_dst[best] == jnp.arange(p_src.shape[0])
+    return jnp.where(best_ok & mutual, best, -1)
 
 
 @jax.jit
@@ -102,42 +152,44 @@ class LoopCloser:
         self.cfg = config
         self.last_loop_seq = -(10**9)
         self.n_closures = 0
+        self.last_closure = None  # (kf_id, cand) of the latest accepted loop
 
     # ---------------- place recognition ----------------
 
     def _global_descriptors(self, smap) -> np.ndarray:
-        """(n_kf, 256) float — mean ±1 descriptor per keyframe."""
-        desc = smap.hview("kf_desc_pm1")[: smap.n_kf].astype(np.float32)
-        valid = smap.hview("kf_feat_valid")[: smap.n_kf].astype(np.float32)[..., None]
-        s = (desc * valid).sum(axis=1) / np.maximum(valid.sum(axis=1), 1.0)
-        n = np.linalg.norm(s, axis=-1, keepdims=True)
-        return s / np.maximum(n, 1e-9)
+        """(n_kf, 256) — cached per-KF mean-BRIEF descriptors (computed once
+        at insertion, slam/place_recognition.py; L2-normalized)."""
+        return smap.hview("kf_gdesc")[: smap.n_kf]
 
     def detect_candidates(self, smap, kf_id: int, n_cand: int = 3) -> list:
-        """Loop candidates: similar global descriptor, NOT covisible, valid,
-        and older than a temporal guard band (in insertion-seq units)."""
+        """Loop candidates: top-n_cand by CENTERED global-descriptor
+        similarity among keyframes that are NOT covisible, valid, and older
+        than a temporal guard band (in insertion-seq units).
+
+        RANK-ONLY by design: the mean-BRIEF cosine distribution is measured
+        too compressed for any absolute or neighbor-derived floor (round 3's
+        adaptive floor sat above true-revisit similarity and filtered every
+        candidate — the r3 zero-closure regression; tools/gdesc_experiment.py).
+        Precision is the Sim3 stage's job; the centered-similarity > 0 check
+        only skips clearly-below-average candidates to save verification
+        programs (true revisits measure ~+0.29 centered, unrelated ~0.0)."""
         if smap.n_kf_active() < 10:
             return []
-        g = self._global_descriptors(smap)
+        kf_valid = smap.kf_valid_host()[: smap.n_kf]
+        g = place_center(self._global_descriptors(smap), kf_valid)
         sims = g @ g[kf_id]
         covis = smap.covisibility()
-        kf_valid = smap.kf_valid_host()
         neighbors = set(np.nonzero(covis[kf_id] >= 15)[0].tolist()) | {kf_id}
-        # adaptive floor: covisible neighbors see the same place, so their
-        # lowest similarity bounds "same-place" similarity from below
-        # (ORB-SLAM's minScore against the BoW neighbor scores)
-        nb_scores = [sims[j] for j in neighbors if j != kf_id]
-        min_score = max(min(nb_scores) if nb_scores else 0.3, 0.2)
         cur_seq = int(smap.kf_seq[kf_id])
         cands = []
         for j in np.argsort(-sims):
             j = int(j)
+            if sims[j] <= 0.0:
+                break
             if j in neighbors or not kf_valid[j]:
                 continue
             if abs(cur_seq - int(smap.kf_seq[j])) < 10:  # temporal guard
                 continue
-            if sims[j] < min_score:
-                break
             cands.append(j)
             if len(cands) >= n_cand:
                 break
@@ -145,13 +197,121 @@ class LoopCloser:
 
     # ---------------- geometric verification ----------------
 
+    def _ransac_pairs(self, smap, pairs: np.ndarray, kf_id: int, cand: int, key):
+        """Run the Sim3 RANSAC on (M, 4) rows [lm_cur, lm_cand, feat_cur,
+        feat_cand]. Returns (s, R, t, n_inl)."""
+        lm_pos = smap.hview("lm_pos")
+        Ta = smap.hview("kf_pose")[kf_id]
+        Tb = smap.hview("kf_pose")[cand]
+        lm_a, lm_b = pairs[:, 0], pairs[:, 1]
+        f_cur, f_cand = pairs[:, 2], pairs[:, 3]
+        pa_cam = lm_pos[lm_b] @ Tb[:3, :3].T + Tb[:3, 3]  # candidate's view
+        pb_cam = lm_pos[lm_a] @ Ta[:3, :3].T + Ta[:3, 3]  # current's view
+        uv_b = smap.hview("kf_xy")[kf_id][f_cur]
+        uv_a = smap.hview("kf_xy")[cand][f_cand]
+        oct_b = smap.hview("kf_octave")[kf_id][f_cur]
+        oct_a = smap.hview("kf_octave")[cand][f_cand]
+        inv_s2 = 1.0 / np.asarray(
+            [self.cfg.scale_factor ** (2 * i) for i in range(self.cfg.n_levels)],
+            np.float32,
+        )
+        n_pad = smap.f_max
+        m = min(len(pairs), n_pad)
+        pa = np.zeros((n_pad, 3), np.float32)
+        pb = np.zeros((n_pad, 3), np.float32)
+        ua = np.zeros((n_pad, 2), np.float32)
+        ub = np.zeros((n_pad, 2), np.float32)
+        wa = np.ones(n_pad, np.float32)
+        wb = np.ones(n_pad, np.float32)
+        valid = np.zeros(n_pad, bool)
+        pa[:m] = pa_cam[:m]
+        pb[:m] = pb_cam[:m]
+        ua[:m] = uv_a[:m]
+        ub[:m] = uv_b[:m]
+        wa[:m] = inv_s2[np.clip(oct_a[:m], 0, self.cfg.n_levels - 1)]
+        wb[:m] = inv_s2[np.clip(oct_b[:m], 0, self.cfg.n_levels - 1)]
+        valid[:m] = True
+        s, R, t, inl, n_inl = _sim3_ransac(
+            jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(ua), jnp.asarray(ub),
+            jnp.asarray(wa), jnp.asarray(wb),
+            jnp.asarray(valid), jnp.asarray(self.cfg.cam.K),
+            key,
+        )
+        return float(s), np.asarray(R), np.asarray(t), int(n_inl)
+
+    def _guided_pairs(self, smap, kf_id: int, cand: int, s, R, t) -> np.ndarray:
+        """Sim3-guided landmark-to-landmark matching in BOTH directions
+        (cand->current under (s,R,t), current->cand under its inverse);
+        returns (M, 4) pair rows [lm_cur, lm_cand, feat_cur, feat_cand]."""
+        lm_pos = smap.hview("lm_pos")
+        lm_desc = smap.hview("lm_desc_pm1")
+        xy = smap.hview("kf_xy")
+        fv = smap.hview("kf_feat_valid")
+        obs = smap.kf_obs_host()
+        K = np.asarray(self.cfg.cam.K)
+        F = smap.f_max
+
+        def side(src_kf, dst_kf, s_, R_, t_):
+            """Match src_kf's landmarks into dst_kf's landmark-bearing
+            features. Returns rows [lm_dst, lm_src, feat_dst, feat_src]."""
+            T_src = smap.hview("kf_pose")[src_kf]
+            src_feats = np.nonzero((obs[src_kf] >= 0) & fv[src_kf])[0]
+            if len(src_feats) == 0:
+                return np.zeros((0, 4), np.int64)
+            lms = obs[src_kf][src_feats]
+            p_src = np.zeros((F, 3), np.float32)
+            d_src = np.zeros((F, 256), np.int8)
+            v_src = np.zeros(F, bool)
+            n = min(len(src_feats), F)
+            p_src[:n] = (
+                lm_pos[lms[:n]] @ T_src[:3, :3].T + T_src[:3, 3]
+            )
+            d_src[:n] = lm_desc[lms[:n]]
+            v_src[:n] = True
+            cand_dst = (obs[dst_kf] >= 0) & fv[dst_kf]
+            m = np.asarray(
+                _guided_match(
+                    jnp.asarray(p_src), jnp.asarray(d_src), jnp.asarray(v_src),
+                    jnp.asarray(np.float32(s_)), jnp.asarray(R_, dtype=jnp.float32),
+                    jnp.asarray(t_, dtype=jnp.float32),
+                    jnp.asarray(xy[dst_kf]),
+                    smap.kf_desc_pm1[dst_kf],
+                    jnp.asarray(cand_dst),
+                    jnp.asarray(K), jnp.asarray(12.0, jnp.float32),
+                )
+            )
+            hit = np.nonzero(m[:n] >= 0)[0]
+            return np.stack(
+                [
+                    obs[dst_kf][m[hit]],  # lm_dst
+                    lms[hit],  # lm_src
+                    m[hit],  # feat_dst
+                    src_feats[hit],  # feat_src
+                ],
+                axis=1,
+            ).astype(np.int64)
+
+        # cand -> current under (s,R,t): dst = current KF
+        fwd = side(cand, kf_id, s, R, t)
+        # current -> cand under the inverse Sim3
+        R_inv = np.asarray(R).T
+        s_inv = 1.0 / max(float(s), 1e-9)
+        t_inv = -s_inv * R_inv @ np.asarray(t)
+        bwd = side(kf_id, cand, s_inv, R_inv, t_inv)
+        if len(bwd):
+            # bwd rows are [lm_cand, lm_cur, feat_cand, feat_cur] — swap
+            bwd = bwd[:, [1, 0, 3, 2]]
+        return np.concatenate([fwd, bwd], axis=0)
+
     def compute_sim3(self, smap, kf_id: int, cand: int):
-        """Associate landmarks via descriptors, fit Sim3 cand->current.
+        """Associate landmarks via descriptors, fit Sim3 cand->current; on
+        marginal first-round support, grow the correspondence set by
+        Sim3-guided projection matching (SearchBySim3 semantics) and refit.
 
         Returns (ok, s, R, t, n_inliers) with (s, R, t) mapping candidate-KF
         CAMERA-frame points to current-KF CAMERA frame (the Scm of ORB-SLAM).
         """
-        f_max = smap.f_max
         obs_a = smap.kf_obs_host()[kf_id]
         obs_b = smap.kf_obs_host()[cand]
         has_a = jnp.asarray(obs_a >= 0) & smap.kf_feat_valid[kf_id]
@@ -170,48 +330,28 @@ class LoopCloser:
         sel = np.nonzero(m_h >= 0)[0]
         if len(sel) < MIN_INLIERS:
             return False, None, None, None, 0
-        lm_a = obs_a[sel]
-        lm_b = obs_b[m_h[sel]]
-        lm_pos = smap.hview("lm_pos")
-        # positions in each keyframe's camera frame
-        Ta = smap.hview("kf_pose")[kf_id]
-        Tb = smap.hview("kf_pose")[cand]
-        pa_cam = lm_pos[lm_b] @ Tb[:3, :3].T + Tb[:3, 3]  # candidate's view
-        pb_cam = lm_pos[lm_a] @ Ta[:3, :3].T + Ta[:3, 3]  # current's view
-        # the observed pixels of those features (for the pixel inlier gate)
-        uv_b = smap.hview("kf_xy")[kf_id][sel]
-        uv_a = smap.hview("kf_xy")[cand][m_h[sel]]
-        oct_b = smap.hview("kf_octave")[kf_id][sel]
-        oct_a = smap.hview("kf_octave")[cand][m_h[sel]]
-        inv_s2 = 1.0 / np.asarray(
-            [self.cfg.scale_factor ** (2 * i) for i in range(self.cfg.n_levels)],
-            np.float32,
+        pairs = np.stack(
+            [obs_a[sel], obs_b[m_h[sel]], sel, m_h[sel]], axis=1
+        ).astype(np.int64)
+        s, R, t, n_inl = self._ransac_pairs(
+            smap, pairs, kf_id, cand, jax.random.PRNGKey(2)
         )
-        n_pad = f_max
-        pa = np.zeros((n_pad, 3), np.float32)
-        pb = np.zeros((n_pad, 3), np.float32)
-        ua = np.zeros((n_pad, 2), np.float32)
-        ub = np.zeros((n_pad, 2), np.float32)
-        wa = np.ones(n_pad, np.float32)
-        wb = np.ones(n_pad, np.float32)
-        valid = np.zeros(n_pad, bool)
-        pa[: len(sel)] = pa_cam
-        pb[: len(sel)] = pb_cam
-        ua[: len(sel)] = uv_a
-        ub[: len(sel)] = uv_b
-        wa[: len(sel)] = inv_s2[np.clip(oct_a, 0, self.cfg.n_levels - 1)]
-        wb[: len(sel)] = inv_s2[np.clip(oct_b, 0, self.cfg.n_levels - 1)]
-        valid[: len(sel)] = True
-        s, R, t, inl, n_inl = _sim3_ransac(
-            jnp.asarray(pa), jnp.asarray(pb),
-            jnp.asarray(ua), jnp.asarray(ub),
-            jnp.asarray(wa), jnp.asarray(wb),
-            jnp.asarray(valid), jnp.asarray(self.cfg.cam.K),
-            jax.random.PRNGKey(2),
-        )
-        if int(n_inl) < MIN_INLIERS:
-            return False, None, None, None, int(n_inl)
-        return True, float(s), np.asarray(R), np.asarray(t), int(n_inl)
+        if BOOTSTRAP_INLIERS <= n_inl < MIN_INLIERS:
+            # marginal support: drift at the revisit shrinks the descriptor-
+            # only inlier set (measured 12-16 on true revisits, r3 probe) —
+            # grow it under the current Sim3 estimate and refit
+            grown = self._guided_pairs(smap, kf_id, cand, s, R, t)
+            if len(grown):
+                allp = np.concatenate([pairs, grown], axis=0)
+                # dedupe by (lm_cur, lm_cand)
+                _, first = np.unique(allp[:, :2], axis=0, return_index=True)
+                allp = allp[np.sort(first)]
+                s, R, t, n_inl = self._ransac_pairs(
+                    smap, allp, kf_id, cand, jax.random.PRNGKey(3)
+                )
+        if n_inl < MIN_INLIERS:
+            return False, None, None, None, n_inl
+        return True, s, R, t, n_inl
 
     # ---------------- correction ----------------
 
@@ -311,6 +451,7 @@ class LoopCloser:
             )
         self.n_closures += 1
         self.last_loop_seq = int(smap.kf_seq[kf_id])
+        self.last_closure = (int(kf_id), int(cand))
         return True
 
     # ---------------- entry ----------------

@@ -92,11 +92,14 @@ def _row_set(arr: jnp.ndarray, k: jnp.ndarray, row: jnp.ndarray):
 # scatter-mutated across arbitrary rows (fusion, erasure, culling).
 _MIRRORED = (
     "kf_pose", "kf_valid", "kf_xy", "kf_octave", "kf_angle",
-    "kf_feat_valid", "kf_desc_pm1", "kf_obs",
+    "kf_feat_valid", "kf_desc_pm1", "kf_obs", "kf_gdesc",
     "lm_pos", "lm_valid", "lm_desc_pm1", "lm_normal",
     "lm_min_dist", "lm_max_dist", "lm_octave",
 )
-_ROW_POLICY = {"kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid"}
+_ROW_POLICY = {
+    "kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid",
+    "kf_gdesc",
+}
 # Landmark tables use BATCHED row policy: every mutation carries an explicit
 # id list (add/erase/invariant-refresh/position write-back), typically a few
 # hundred rows per keyframe against an l_max x 256 descriptor table whose
@@ -144,6 +147,12 @@ class SlamMap:
         self._kf_feat_valid = np.zeros((k_max, f_max), bool)
         self._kf_desc_pm1 = np.zeros((k_max, f_max, desc_dim), np.int8)
         self._kf_obs = np.full((k_max, f_max), -1, np.int32)
+        # global place-recognition descriptor per keyframe (VLAD over random
+        # BRIEF anchors, slam/place_recognition.py) — computed once at
+        # insertion (features are immutable post-insert), L2-normalized
+        from orbslam_in_practice_tpu.slam.place_recognition import GDESC_DIM
+
+        self._kf_gdesc = np.zeros((k_max, GDESC_DIM), np.float32)
 
         self._lm_pos = np.zeros((l_max, 3), np.float32)
         self._lm_valid = np.zeros(l_max, bool)
@@ -284,9 +293,19 @@ class SlamMap:
         if nf > self.f_max:
             raise ValueError(f"frame has {nf} features > map f_max {self.f_max}")
 
-        # ONE device->host transfer for the whole frame snapshot
-        xy, octave, angle, fvalid, desc = jax.device_get(
-            (frame.xy, frame.octave, frame.angle, frame.valid, frame.desc_pm1)
+        # ONE device->host transfer for the whole frame snapshot (the global
+        # place descriptor is computed on device from the frame arrays and
+        # rides the same transfer)
+        from orbslam_in_practice_tpu.slam.place_recognition import (
+            global_descriptor,
+        )
+
+        xy, octave, angle, fvalid, desc, gdesc = jax.device_get(
+            (
+                frame.xy, frame.octave, frame.angle, frame.valid,
+                frame.desc_pm1,
+                global_descriptor(frame.desc_pm1, frame.valid),
+            )
         )
         self._kf_pose[k] = np.asarray(Tcw)
         self._kf_valid[k] = True
@@ -302,6 +321,7 @@ class SlamMap:
         self._kf_feat_valid[k, nf:] = False
         self._kf_desc_pm1[k, :nf] = desc
         self._kf_desc_pm1[k, nf:] = 0
+        self._kf_gdesc[k] = gdesc
 
         obs_row = np.full(self.f_max, -1, np.int32)
         obs_row[:nf] = np.asarray(obs, np.int32)[:nf]
@@ -312,7 +332,10 @@ class SlamMap:
         np.add.at(self.lm_obs_count, seen, 1)
         self.next_kf_id += 1
         self._touch("kf_pose", "kf_valid", "kf_obs")
-        for n in ("kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid"):
+        for n in (
+            "kf_desc_pm1", "kf_xy", "kf_octave", "kf_angle", "kf_feat_valid",
+            "kf_gdesc",
+        ):
             self._touch_row(n, k)
         self._invalidate_caches()
         return k
@@ -503,18 +526,31 @@ class SlamMap:
         """KeyFrame::SetBadFlag semantics (absent in reference — SURVEY.md
         §2.1 #5 'SetBadFlag/culling absent'): drop the KF and its
         observations; landmark bookkeeping updated, the slot recycled, and
-        landmarks anchored to this KF re-anchored to another observer."""
+        landmarks anchored to this KF re-anchored to another observer.
+
+        `on_kf_removed(kf_id, seq, pose)` fires first (if registered) so
+        owners of keyframe-relative state — the tracker's anchored
+        trajectory — can re-anchor before the slot is recycled. Without it,
+        frames anchored to an evicted keyframe freeze at stale absolute
+        poses and a later loop-closure correction leaves them in the OLD
+        frame of reference (measured: running ATE *rose* through the orbit
+        closure, round-4 probe)."""
+        hook = getattr(self, "on_kf_removed", None)
+        if hook is not None:
+            hook(int(kf_id), int(self.kf_seq[kf_id]), self._kf_pose[kf_id].copy())
         obs = self._kf_obs[kf_id]
         seen = obs[obs >= 0]
         np.subtract.at(self.lm_obs_count, seen, 1)
         self._kf_valid[kf_id] = False
         self._kf_obs[kf_id] = -1
         self._kf_feat_valid[kf_id] = False
+        self._kf_gdesc[kf_id] = 0.0
         self.kf_seq[kf_id] = -1
         self.kf_frame_id[kf_id] = -1
         self._kf_free.append(int(kf_id))
         self._touch("kf_valid", "kf_obs")
         self._touch_row("kf_feat_valid", kf_id)
+        self._touch_row("kf_gdesc", kf_id)
         self._invalidate_caches()
         # re-anchor landmarks whose reference keyframe this was (loop closure
         # corrects landmarks through lm_first_kf — a dangling anchor would

@@ -101,12 +101,16 @@ class Tracking:
         self.new_kf_ids: list = []
         self._fused_cache = {}  # image shape -> jitted fused steady step
         self.use_fused = True  # single-program steady state (tests flip this)
+        self.map.on_kf_removed = self._reanchor_trajectory
 
     # ------------------------------------------------------------------
     def reset(self):
         """Real Reset (ref include/Tracking.h:33 had an empty body)."""
         self.map = SlamMap(self.cfg.k_max, self.cfg.l_max, self.ini_extractor.total)
+        self.map.on_kf_removed = self._reanchor_trajectory
         self.mapper = LocalMapper(self.cfg, self.extractor)
+        if self.loop_closer is not None:
+            self.loop_closer = LoopCloser(self.cfg)
         self.state = TrackingState.NOT_INITIALIZED
         self.last_pose = None
         self.last_obs = None
@@ -114,6 +118,14 @@ class Tracking:
         self.ref_kf = -1
         self._init_frame = None
         self._prev_matched = None
+        # freeze old trajectory entries at their absolute poses: the new
+        # map restarts slot ids AND seq numbers from 0, so a stale
+        # (ref, ref_seq) pair would otherwise re-anchor to an unrelated
+        # keyframe of the new map in materialize_trajectory
+        self.trajectory = [
+            (fid, ts, pose, -1, None, -1)
+            for (fid, ts, pose, _ref, _T_rel, _seq) in self.trajectory
+        ]
 
     # ------------------------------------------------------------------
     def track_mono(self, image: jnp.ndarray, timestamp: float):
@@ -166,13 +178,47 @@ class Tracking:
             ok = self._track_frame(frame)
             pose = self.last_pose if ok else None
         else:  # LOST
-            ok = self._relocalize(frame)
-            pose = self.last_pose if ok else None
+            if self.map.n_kf_active() <= 5:
+                # reset-on-early-lost (ORB-SLAM Tracking::track's mono
+                # reset when lost soon after initialization — the gap at
+                # ref src/Tracking.cpp:143-146, empty include/Tracking.h:33):
+                # a 5-keyframe map is cheaper to rebuild than to relocalize
+                # against
+                self.reset()
+                pose = None
+            else:
+                ok = self._relocalize(frame)
+                pose = self.last_pose if ok else None
 
         if pose is None:
             self.trajectory.append((self.frame_id, timestamp, None, -1, None, -1))
             return None
         return self._log_pose(pose, timestamp)
+
+    def _reanchor_trajectory(self, kf_id: int, kf_seq: int, kf_pose: np.ndarray):
+        """Re-anchor trajectory entries referencing a keyframe being removed
+        to the nearest surviving keyframe (by insertion seq): T_rel' =
+        T_rel @ T_old @ inv(T_new), using poses at removal time — the
+        relative chain is preserved, so later map corrections (local BA,
+        loop closure) keep refining these frames retroactively."""
+        survivors = self.map.valid_keyframes_by_seq()
+        survivors = survivors[survivors != kf_id]
+        if len(survivors) == 0:
+            return
+        seqs = self.map.kf_seq[survivors]
+        new_ref = int(survivors[np.argmin(np.abs(seqs - kf_seq))])
+        new_seq = int(self.map.kf_seq[new_ref])
+        T_new_inv = np.linalg.inv(self.map.hview("kf_pose")[new_ref])
+        out = []
+        for entry in self.trajectory:
+            fid, ts, pose, ref, T_rel, ref_seq = entry
+            if ref == kf_id and ref_seq == kf_seq and T_rel is not None:
+                out.append(
+                    (fid, ts, pose, new_ref, T_rel @ kf_pose @ T_new_inv, new_seq)
+                )
+            else:
+                out.append(entry)
+        self.trajectory = out
 
     def _log_pose(self, pose, timestamp):
         pose_np = np.asarray(pose)
@@ -721,6 +767,21 @@ class Tracking:
         if self.loop_closer is not None and self.loop_closer.attempt(self.map, kf_id):
             # map geometry jumped: the motion model is stale
             self.velocity = None
+            # SearchAndFuse: merge the revisit's duplicate landmarks into
+            # the corrected originals via the loop candidate's neighborhood,
+            # so tracking continues on the closed map instead of re-drifting
+            # on the duplicates (original ORB-SLAM's CorrectLoop fuse step)
+            _, cand_c = self.loop_closer.last_closure
+            covis = self.map.covisibility()
+            nbs = [cand_c] + [
+                int(j)
+                for j in np.argsort(-covis[cand_c])[:4]
+                if covis[cand_c][j] >= 15 and j != kf_id
+            ]
+            if self.mapper.fuse_neighbors(self.map, kf_id, neighbors=nbs):
+                self.mapper.refresh_landmarks(
+                    self.map, self.map.keyframe_landmarks(kf_id)
+                )
         # poses may have moved in local BA / loop closure; stay consistent
         self.last_pose = self.map.kf_pose[kf_id]
         self.new_kf_ids.append(kf_id)

@@ -121,9 +121,12 @@ def main():
             acc = carry
             x = lax.dynamic_index_in_dim(a_stack, i % R, axis=0, keepdims=False)
             d = hamming_matrix(x, b)
-            return acc + jnp.sum(d)
+            # f32 accumulator: one 800x4096 sum is ~4e8, so an int32 acc
+            # wraps after a few iterations (ADVICE r3) — f32 keeps the value
+            # usable as a checksum while preserving the data dependence
+            return acc + jnp.sum(d, dtype=jnp.float32)
 
-        ms = timed_chain(ham_step, jnp.int32(0), reps=50)
+        ms = timed_chain(ham_step, jnp.float32(0), reps=50)
         rep = speed_of_light_report(lambda x, y: hamming_matrix(x, y), a, b)
         report(f"hamming_matrix {N}x{M}", ms, rep)
 
