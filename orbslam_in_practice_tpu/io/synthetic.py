@@ -244,7 +244,10 @@ class SyntheticSequence:
             ahead = np.minimum(np.arange(n_frames) + look, n_frames - 1)
             cos_turn = np.sum(dirs_f * dirs_f[ahead], axis=-1)
             turny = cos_turn < np.cos(0.25)  # >14 deg heading change coming
-            frontal = turny[station] & (rng.uniform(size=n_points) < 0.6)
+            # fraction 0.3: converting more was measured to DEPLETE the
+            # second street's lateral facades (their stations are the turn
+            # frames), starving extraction right after the turn
+            frontal = turny[station] & (rng.uniform(size=n_points) < 0.3)
             if frontal.any():
                 mid = dirs_f[station] + dirs_f[ahead[station]]
                 mid = mid / np.maximum(
@@ -264,6 +267,31 @@ class SyntheticSequence:
                 )
                 self.pts[frontal] = p_f[frontal].astype(np.float32)
                 self.pts[:, 1] = h
+            # PATH CLEARANCE: no quad may sit on the driven roadway. The
+            # path is not straight, so a lateral facade of one street block
+            # (or a junction quad) can land exactly where a LATER block
+            # drives — measured: post-turn frames rendered with median
+            # depth 1.4 m (quads filling the screen), starving extraction.
+            # Push violating quads horizontally away from the nearest path
+            # point to a street-width clearance.
+            d2 = (
+                (self.pts[:, None, [0, 2]] - centers_w[None, :, [0, 2]]) ** 2
+            ).sum(-1)
+            near = np.argmin(d2, axis=1)
+            dmin = np.sqrt(d2[np.arange(n_points), near])
+            clear = 4.0
+            bad = dmin < clear
+            if bad.any():
+                c = centers_w[near[bad]]
+                v = self.pts[bad] - c
+                v[:, 1] = 0.0
+                nv = np.linalg.norm(v, axis=1, keepdims=True)
+                v = np.where(nv > 1e-6, v / np.maximum(nv, 1e-6), [[1.0, 0.0, 0.0]])
+                pushed = c + v * (
+                    clear + rng.uniform(1.0, 10.0, (int(bad.sum()), 1))
+                )
+                pushed[:, 1] = h[bad]
+                self.pts[bad] = pushed.astype(np.float32)
             self._station = station
         else:
             self.pts = np.stack(

@@ -265,6 +265,7 @@ class LocalMapper:
         self.n_ba_truncations = 0  # local-BA budget clips (SURVEY §7.3 risk)
         self.n_ba_obs_drops = 0  # observations beyond the per-landmark cap
         self.n_fuse_merges = 0  # landmark merge conflicts resolved in fusion
+        self.n_lm_evictions = 0  # pressure-driven landmark evictions
 
     # ---------- landmark invariant refresh ----------
 
@@ -674,20 +675,39 @@ class LocalMapper:
             if free.any():
                 smap.add_observations(nb, feats[free], lms[free])
                 n_fused += int(free.sum())
-            # conflicting features hold ANOTHER landmark -> merge; the
-            # landmark with more observations wins. Counted (n_fuse_merges)
-            # so the "rare enough for a host loop" claim is verifiable at
-            # scale (VERDICT r2 weak #7).
-            for lm, ex in zip(lms[~free], existing[~free]):
-                lm, ex = int(lm), int(ex)
-                if ex == lm:
-                    continue
-                if smap.lm_obs_count[ex] >= smap.lm_obs_count[lm]:
-                    smap.replace_landmark(lm, ex)
-                else:
-                    smap.replace_landmark(ex, lm)
-                n_fused += 1
-                self.n_fuse_merges += 1
+            # conflicting features hold ANOTHER landmark -> candidate merge;
+            # the landmark with more observations wins. Counted
+            # (n_fuse_merges) so the "rare enough for a host loop" claim is
+            # verifiable at scale (VERDICT r2 weak #7).
+            # POSITION GATE: merge only true duplicates — the two 3D points
+            # must agree within 5% of viewing depth. Without it, dense
+            # repetitive-texture regimes (KITTI corridor, 2k features,
+            # near-identical consecutive KFs) chain-merge DISTINCT points
+            # that happen to match by window+descriptor: measured 14,408
+            # merges in 100 frames, corrupting the map until tracking died
+            # (round-4 turn diagnosis). ORB-SLAM's Fuse implicitly bounds
+            # this with its reprojection-error check on the replacement.
+            conf_lm = lms[~free]
+            conf_ex = existing[~free]
+            if len(conf_lm):
+                lm_pos_live = smap.hview("lm_pos")
+                T_nb = kf_pose_h[nb]
+                X_lm = lm_pos_live[conf_lm]
+                X_ex = lm_pos_live[conf_ex]
+                depth = (X_ex @ T_nb[:3, :3].T + T_nb[:3, 3])[:, 2]
+                agree = np.linalg.norm(X_lm - X_ex, axis=1) < 0.05 * np.maximum(
+                    depth, 1e-3
+                )
+                for lm, ex, ok_ in zip(conf_lm, conf_ex, agree):
+                    lm, ex = int(lm), int(ex)
+                    if ex == lm or not ok_:
+                        continue
+                    if smap.lm_obs_count[ex] >= smap.lm_obs_count[lm]:
+                        smap.replace_landmark(lm, ex)
+                    else:
+                        smap.replace_landmark(ex, lm)
+                    n_fused += 1
+                    self.n_fuse_merges += 1
         return n_fused
 
     # ---------- culling ----------
@@ -777,6 +797,7 @@ class LocalMapper:
             "n_ba_truncations": self.n_ba_truncations,
             "n_ba_obs_drops": self.n_ba_obs_drops,
             "n_fuse_merges": self.n_fuse_merges,
+            "n_lm_evictions": self.n_lm_evictions,
             "n_recent_lms": len(self._recent_lms),
         }
 
@@ -795,6 +816,23 @@ class LocalMapper:
         invariants (create does not read them; fuse reads desc/dist gates
         whose provisional values are permissive)."""
         self.cull_landmarks(smap, kf_id)
+        # landmark-table pressure: keep headroom for this epoch's new
+        # points by evicting the weakest old landmarks (never the current
+        # KF's set or the still-maturing recent ones)
+        cap = smap.landmark_capacity()
+        headroom = min(2048, smap.l_max // 8)
+        if cap < headroom:
+            protect = np.concatenate(
+                [
+                    smap.keyframe_landmarks(kf_id),
+                    np.array(
+                        [i for i, _, _ in self._recent_lms], np.int64
+                    ),
+                ]
+            )
+            self.n_lm_evictions += smap.evict_landmarks(
+                headroom - cap, protect
+            )
         self.create_new_points(smap, kf_id)
         self.fuse_neighbors(smap, kf_id)
         if smap.n_kf_active() >= 3:

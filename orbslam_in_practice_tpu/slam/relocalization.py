@@ -174,7 +174,7 @@ def relocalize(tracker, frame):
             jnp.asarray(pw), jnp.asarray(uv), inv_s2, jnp.asarray(valid),
             tracker.K, jax.random.PRNGKey(1 + ci),
         )
-        if int(n_inl) < 10:
+        if int(n_inl) < 12:
             continue
 
         Tcw0 = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
@@ -186,7 +186,11 @@ def relocalize(tracker, frame):
         Tcw, inlier, n_in = pose_optimization(
             Tcw0, Xw, frame.xy, inv_s2, has & frame.valid, tracker.K
         )
-        if int(np.asarray(n_in)) < 10:
+        # acceptance: ORB-SLAM's Relocalization demands >= 50 good points;
+        # accepting a 10-inlier pose was measured to re-anchor tracking on
+        # garbage and die within a frame (KITTI turn diagnosis, round 4) —
+        # 25 balances recovery rate against poisoning the tracker
+        if int(np.asarray(n_in)) < 25:
             continue
         inl_h = np.asarray(inlier)
         obs[~inl_h] = -1

@@ -771,17 +771,18 @@ class Tracking:
             # the corrected originals via the loop candidate's neighborhood,
             # so tracking continues on the closed map instead of re-drifting
             # on the duplicates (original ORB-SLAM's CorrectLoop fuse step)
-            _, cand_c = self.loop_closer.last_closure
-            covis = self.map.covisibility()
-            nbs = [cand_c] + [
-                int(j)
-                for j in np.argsort(-covis[cand_c])[:4]
-                if covis[cand_c][j] >= 15 and j != kf_id
-            ]
-            if self.mapper.fuse_neighbors(self.map, kf_id, neighbors=nbs):
-                self.mapper.refresh_landmarks(
-                    self.map, self.map.keyframe_landmarks(kf_id)
-                )
+            if self.loop_closer.last_closure is not None:
+                _, cand_c = self.loop_closer.last_closure
+                covis = self.map.covisibility()
+                nbs = [cand_c] + [
+                    int(j)
+                    for j in np.argsort(-covis[cand_c])[:4]
+                    if covis[cand_c][j] >= 15 and j != kf_id
+                ]
+                if self.mapper.fuse_neighbors(self.map, kf_id, neighbors=nbs):
+                    self.mapper.refresh_landmarks(
+                        self.map, self.map.keyframe_landmarks(kf_id)
+                    )
         # poses may have moved in local BA / loop closure; stay consistent
         self.last_pose = self.map.kf_pose[kf_id]
         self.new_kf_ids.append(kf_id)

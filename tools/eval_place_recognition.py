@@ -37,10 +37,33 @@ def main():
     ap.add_argument("--dist-th", type=float, default=1.0)
     ap.add_argument("--yaw-th", type=float, default=30.0)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--gate", action="store_true",
+        help="assert retrieval query-recall >= 0.5 and post-Sim3 precision "
+        "== 1.0 (pair with --detect-only for the fair retrieval benchmark)",
+    )
+    ap.add_argument(
+        "--detect-only", action="store_true",
+        help="verify Sim3 but skip the map correction: the live system stops "
+        "being a fair retrieval benchmark after its FIRST closure (the "
+        "corrected+fused map makes later revisits covisible, so they are "
+        "excluded by design); this mode keeps drift so every revisit query "
+        "tests retrieval",
+    )
     args = ap.parse_args()
 
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    try:
+        import jax._src.xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -98,6 +121,14 @@ def main():
 
     lc.detect_candidates = detect
     lc.compute_sim3 = sim3
+    if args.detect_only:
+        n_would_close = [0]
+
+        def no_close(smap, kf_id, cand, s, R, t, run_global_ba=True):
+            n_would_close[0] += 1
+            return True  # accepted, but no correction applied
+
+        lc.close_loop = no_close
 
     # also track, per query keyframe, whether a true revisit EXISTED among
     # the valid non-covisible older keyframes (recall denominator)
@@ -166,6 +197,16 @@ def main():
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f, indent=2, default=float)
+    if args.gate:
+        # VERDICT r3 next #5 gates (measured r4: recall 0.846, precision 1.0
+        # in --detect-only mode)
+        ret_recall = out["retrieval"]["query_recall"] or 0.0
+        ver_prec = out["post_sim3"]["precision"]
+        assert ret_recall >= 0.5, f"retrieval query_recall {ret_recall} < 0.5"
+        assert ver_prec is None or ver_prec == 1.0, (
+            f"post-Sim3 precision {ver_prec} != 1.0"
+        )
+        print("GATES PASSED")
 
 
 if __name__ == "__main__":
