@@ -815,6 +815,9 @@ class LocalMapper:
         (VERDICT r3 next #3); intermediate stages tolerate one-epoch-stale
         invariants (create does not read them; fuse reads desc/dist gates
         whose provisional values are permissive)."""
+        # coalesce the just-inserted keyframe's row-mirror updates (6
+        # tables) into one program before the epoch's kernels read them
+        smap.flush_mirrors()
         self.cull_landmarks(smap, kf_id)
         # landmark-table pressure: keep headroom for this epoch's new
         # points by evicting the weakest old landmarks (never the current
@@ -842,3 +845,7 @@ class LocalMapper:
         # one end-of-epoch refresh: the keyframe's (post-create/fuse/BA)
         # landmark set, computed from post-BA geometry
         self.refresh_landmarks(smap, smap.keyframe_landmarks(kf_id))
+        # coalesce every pending mirror-row update into ONE program before
+        # tracking resumes (the next fused frame reads 7 landmark mirrors —
+        # lazily that is 7 separate relay execute sequences)
+        smap.flush_mirrors()

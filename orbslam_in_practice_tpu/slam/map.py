@@ -119,6 +119,18 @@ def _rows_set(arr: jnp.ndarray, ks: jnp.ndarray, rows: jnp.ndarray):
     return arr.at[ks].set(rows)
 
 
+@jax.jit
+def _flush_rows_multi(kf_arrays, kf_ids, kf_rows, lm_arrays, lm_ids, lm_rows):
+    """Apply pending row updates to MANY mirror tables in ONE device
+    program. Each table updated separately costs a full relay execute
+    sequence (~tens of ms fixed, BENCH_NOTES r3); a keyframe epoch dirties
+    ~6 keyframe-row tables + ~7 landmark-row tables, so coalescing is worth
+    hundreds of ms per keyframe on relay-fronted hardware."""
+    kf_out = tuple(a.at[kf_ids].set(r) for a, r in zip(kf_arrays, kf_rows))
+    lm_out = tuple(a.at[lm_ids].set(r) for a, r in zip(lm_arrays, lm_rows))
+    return kf_out, lm_out
+
+
 class SlamMap:
     """Slot-allocated map: numpy host truth + lazy jnp device mirrors."""
 
@@ -229,6 +241,50 @@ class SlamMap:
             if len(rows) > self.l_max // 4:
                 self._dirty.add(n)
                 rows.clear()
+
+    def flush_mirrors(self):
+        """Coalesce ALL pending row-policy / batched-row mirror updates into
+        one device program (vs one lazy program per table on first read).
+        Call at the end of a mapping epoch, before tracking resumes: the
+        next fused tracking frame reads the 7 landmark mirrors and would
+        otherwise trigger 7 separate scatter programs. Tables pending a
+        WHOLE-table refresh (in _dirty) are left to the lazy path."""
+
+        def gather(policy):
+            names = [
+                n
+                for n in sorted(policy)
+                if n in self._dev
+                and n not in self._dirty
+                and self._dirty_rows[n]
+            ]
+            if not names:
+                return [], None, []
+            union = sorted(set().union(*[self._dirty_rows[n] for n in names]))
+            B = max(8, int(2 ** np.ceil(np.log2(len(union)))))
+            ids = np.full(B, union[0], np.int64)
+            ids[: len(union)] = union
+            rows = [getattr(self, "_" + n)[ids] for n in names]
+            return names, ids, rows
+
+        kf_names, kf_ids, kf_rows = gather(_ROW_POLICY)
+        lm_names, lm_ids, lm_rows = gather(_BATCH_ROW_POLICY)
+        if not kf_names and not lm_names:
+            return
+        kf_out, lm_out = _flush_rows_multi(
+            tuple(self._dev[n] for n in kf_names),
+            jnp.asarray(kf_ids if kf_ids is not None else np.zeros(0, np.int64)),
+            tuple(jnp.asarray(r) for r in kf_rows),
+            tuple(self._dev[n] for n in lm_names),
+            jnp.asarray(lm_ids if lm_ids is not None else np.zeros(0, np.int64)),
+            tuple(jnp.asarray(r) for r in lm_rows),
+        )
+        for n, o in zip(kf_names, kf_out):
+            self._dev[n] = o
+            self._dirty_rows[n].clear()
+        for n, o in zip(lm_names, lm_out):
+            self._dev[n] = o
+            self._dirty_rows[n].clear()
 
     def hview(self, name: str) -> np.ndarray:
         """The numpy host truth of a mirrored table — READ-ONLY by contract
