@@ -29,34 +29,81 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.kitti_scale_probe import run  # noqa: E402
+from tools.kitti_scale_probe import build, run  # noqa: E402
 
 
-@pytest.mark.slow
-def test_e2e_kitti_production_budgets_full_sequence():
-    result, system = run(n_frames=500, n_features=2000, seed=3)
-
+def _common_gates(result):
     assert result["k_max"] == 256 and result["l_max"] == 16384
-    # the regime is HELD end-to-end: >= 90% of frames tracked, and no lost
-    # segment longer than ~2 s of driving (the system must recover, not
-    # merely average well)
-    assert result["tracked_fraction"] > 0.9, result["tracked_fraction"]
+    # no lost segment longer than ~2 s of driving after init (the system
+    # must RECOVER, not merely average well)
     long_losses = [
-        seg for seg in result["lost_segments"] if seg[1] - seg[0] >= 20 and seg[0] > 10
+        seg
+        for seg in result["lost_segments"]
+        if seg[1] - seg[0] >= 20 and seg[0] > 10
     ]
     assert not long_losses, result["lost_segments"]
-    # monocular drift without loop closure, Sim3-aligned, relative to the
-    # driven path (TPU probe measured 0.49%)
-    assert result["ate_pct_of_path"] < 1.5, result
-    assert result["n_aligned"] > 450
-
     # the K/L-scaling host paths must stay bounded at production budgets
     st = result["host_stage_ms"]
     assert st["local_map_landmarks"]["p95"] < 60.0, st
     assert st["covisibility"]["p95"] < 60.0, st
     assert st["cull_keyframes"]["p95"] < 250.0, st
+    # saturation accounting: local BA must not have silently truncated
+    assert result["mapper"]["n_ba_truncations"] == 0, result["mapper"]
+
+
+@pytest.mark.slow
+def test_e2e_kitti_turn_regime():
+    """The previously-fatal window, gated in every slow-suite run: the
+    FULL first 90-degree turn (frames 90-126) plus the exit onto the
+    second street — built against the PRODUCTION-density 500-frame world
+    (the per-run-constant density of the r3 scene made short gated tests
+    denser, and easier, than the production run they stood in for).
+
+    160 frames at ~6.7 s/frame CPU ~= 18 min; the full 500-frame pass is
+    test_e2e_kitti_production_500 below (opt-in: ~1-2 h on this 2-core
+    host) and the standing TPU artifact KITTI500_r04.json."""
+    seq, cfg = build(500)  # production world
+    from orbslam_in_practice_tpu.io.evaluation import ate_rmse
+    from orbslam_in_practice_tpu.slam.tracking import TrackingState
+    from orbslam_in_practice_tpu.system import SlamSystem
+    import numpy as np
+
+    system = SlamSystem(cfg)
+    n = 160
+    n_tracked = 0
+    lost_run = cur = 0
+    for i in range(n):
+        pose = system.track_monocular(seq.render(i), i * 0.1)
+        if pose is not None and system.state == TrackingState.OK:
+            n_tracked += 1
+            cur = 0
+        else:
+            cur += 1
+            lost_run = max(lost_run, cur)
+    gt = seq.gt_centers()[:n]
+    rmse, n_aligned, _ = ate_rmse(system.get_trajectory(), gt)
+    path = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    assert n_tracked > 0.9 * n, n_tracked
+    assert lost_run < 20, lost_run
+    assert 100.0 * rmse / path < 1.5, (rmse, path)
+    assert system.tracker.mapper.stats()["n_ba_truncations"] == 0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("RUN_PRODUCTION_E2E"),
+    reason="full 500-frame production run: ~1-2 h on a 2-core CPU host; "
+    "set RUN_PRODUCTION_E2E=1 (the TPU probe artifact KITTI500_r04.json "
+    "records the same run on the chip: tracked 0.974, ATE 0.49% of path)",
+)
+def test_e2e_kitti_production_500():
+    result, system = run(n_frames=500, n_features=2000, seed=3)
+    _common_gates(result)
+    assert result["tracked_fraction"] > 0.9, result["tracked_fraction"]
+    # monocular drift without loop closure, Sim3-aligned, relative to the
+    # driven path (TPU probe measured 0.49%)
+    assert result["ate_pct_of_path"] < 1.5, result
+    assert result["n_aligned"] > 450
     # the map actually grew into the production tables and recycling ran
     assert result["map"]["n_lm"] > 8000, result["map"]
     assert result["map"]["n_kf"] > 100, result["map"]
-    # saturation accounting: local BA must not have silently truncated
-    assert result["mapper"]["n_ba_truncations"] == 0, result["mapper"]
