@@ -213,3 +213,130 @@ def test_remove_keyframe_reanchors_first_kf(rng):
     smap.remove_keyframe(k0)
     # landmarks still observed by k1 -> re-anchored there
     assert (smap.lm_first_kf[ids] == k1).all()
+
+
+def test_covisibility_incremental_matches_rebuild(rng):
+    """Incremental covisibility == full sgemm rebuild after a long random
+    mutation sequence exercising every delta path: add_keyframe,
+    add_observations, scrub, erase, replace, remove_keyframe (VERDICT r4
+    next #2 done-criterion: numerically identical counts)."""
+    smap = SlamMap(k_max=8, l_max=256, f_max=64)
+    live_kfs = []
+    for step in range(60):
+        op = rng.integers(0, 6)
+        if op == 0 or len(live_kfs) < 2:  # add keyframe w/ random bindings
+            if smap.keyframe_capacity() == 0:
+                continue
+            n_new = int(rng.integers(0, 6))
+            new_ids = smap.allocate_landmarks(n_new)
+            if len(new_ids):
+                smap.add_landmarks(
+                    new_ids,
+                    rng.normal(size=(len(new_ids), 3)).astype(np.float32),
+                    (rng.integers(0, 2, (len(new_ids), 256)).astype(np.int8) * 2 - 1),
+                    np.zeros((len(new_ids), 3), np.float32),
+                    np.zeros(len(new_ids), np.int32),
+                    np.zeros(len(new_ids), np.float32),
+                    np.full(len(new_ids), np.inf, np.float32),
+                    first_kf=-1,
+                )
+            valid_lms = np.nonzero(smap.lm_valid_host())[0]
+            obs = np.full(64, -1, np.int64)
+            if len(valid_lms):
+                feats = rng.choice(64, size=min(12, len(valid_lms)), replace=False)
+                obs[feats] = rng.choice(valid_lms, size=len(feats), replace=False)
+            live_kfs.append(add_kf(smap, rng, obs))
+        elif op == 1:  # bind more observations to a random keyframe
+            k = int(rng.choice(live_kfs))
+            row = smap.kf_obs_host()[k]
+            free = np.nonzero(row < 0)[0]
+            bound = np.zeros(smap.l_max, bool)
+            bound[row[row >= 0]] = True
+            valid_lms = np.nonzero(smap.lm_valid_host() & ~bound)[0]
+            n = min(4, len(free), len(valid_lms))
+            if n:
+                smap.add_observations(
+                    k, rng.choice(free, n, replace=False),
+                    rng.choice(valid_lms, n, replace=False),
+                )
+        elif op == 2:  # scrub random observations
+            ko, fo = np.nonzero(smap.kf_obs_host() >= 0)
+            if len(ko):
+                pick = rng.choice(len(ko), size=min(5, len(ko)), replace=False)
+                smap.scrub_observations(ko[pick], fo[pick])
+        elif op == 3:  # erase random landmarks
+            valid_lms = np.nonzero(smap.lm_valid_host())[0]
+            if len(valid_lms):
+                smap.erase_landmarks(
+                    rng.choice(valid_lms, min(3, len(valid_lms)), replace=False
+                    ).astype(np.int32)
+                )
+        elif op == 4:  # merge two random landmarks
+            valid_lms = np.nonzero(smap.lm_valid_host())[0]
+            if len(valid_lms) >= 2:
+                a, b = rng.choice(valid_lms, 2, replace=False)
+                smap.replace_landmark(int(a), int(b))
+        elif op == 5 and len(live_kfs) > 2:  # remove a keyframe
+            k = int(rng.choice(live_kfs))
+            smap.remove_keyframe(k)
+            live_kfs.remove(k)
+        # live keyframes may also disappear via orphan GC side effects
+        live_kfs = [k for k in live_kfs if smap.kf_valid_host()[k]]
+
+        inc = smap.covisibility().copy()
+        smap._covis_dirty = True  # force the ground-truth sgemm rebuild
+        truth = smap.covisibility()
+        np.testing.assert_array_equal(inc, truth, err_msg=f"step {step}")
+        sees_inc = smap._sees.copy()
+        np.testing.assert_array_equal(sees_inc, smap._sees)
+
+
+def test_local_map_cap_is_counted_and_strength_ordered(rng):
+    """When the K1 local-map vote exceeds LOCAL_MAP_MAX, the STRONGEST
+    landmarks (by observation count) are kept and the clip is counted
+    (VERDICT r4 weak #3 — was slot-order, silent)."""
+    from orbslam_in_practice_tpu.config import SlamConfig
+    from orbslam_in_practice_tpu.slam.tracking import LOCAL_MAP_MAX, Tracking
+
+    cfg = SlamConfig(n_features=64, k_max=8, l_max=8192)
+    tr = Tracking(cfg)
+    smap = SlamMap(k_max=8, l_max=8192, f_max=4096)
+    tr.map = smap
+    n_lm = LOCAL_MAP_MAX + 512
+    ids = smap.allocate_landmarks(n_lm)
+    assert len(ids) == n_lm
+    smap.add_landmarks(
+        ids,
+        rng.normal(size=(n_lm, 3)).astype(np.float32),
+        (rng.integers(0, 2, (n_lm, 256)).astype(np.int8) * 2 - 1),
+        np.zeros((n_lm, 3), np.float32),
+        np.zeros(n_lm, np.int32),
+        np.zeros(n_lm, np.float32),
+        np.full(n_lm, np.inf, np.float32),
+        first_kf=-1,
+    )
+    # two keyframes each observing one half (so every landmark is in the K1
+    # vote); the SECOND half gets an extra observing keyframe -> stronger
+    f = FakeFrame(
+        4096,
+        rng.uniform(0, 640, (4096, 2)).astype(np.float32),
+        np.ones(4096, bool),
+        (rng.integers(0, 2, (4096, 256)).astype(np.int8) * 2 - 1),
+    )
+    half = n_lm // 2
+
+    def obs_row(chunk):
+        row = np.full(4096, -1, np.int64)
+        row[: len(chunk)] = chunk
+        return row
+
+    k0 = smap.add_keyframe(f, jnp.eye(4), obs_row(ids[:half]), 0)
+    k1 = smap.add_keyframe(f, jnp.eye(4), obs_row(ids[half:]), 1)
+    k2 = smap.add_keyframe(f, jnp.eye(4), obs_row(ids[half:]), 2)
+    tr.last_obs = np.concatenate([ids[:10], ids[half : half + 10]]).astype(np.int32)
+    out = tr._local_map_landmarks()
+    assert len(out) == LOCAL_MAP_MAX
+    assert tr.n_local_map_truncations == 1
+    # the doubly-observed (strong) half must survive in full
+    strong = ids[half:]
+    assert np.isin(strong, out).all()
