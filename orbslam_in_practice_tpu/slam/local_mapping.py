@@ -825,13 +825,20 @@ class LocalMapper:
         cap = smap.landmark_capacity()
         headroom = min(2048, smap.l_max // 8)
         if cap < headroom:
+            # protect the whole covisible WINDOW's landmark union, not just
+            # the current KF's set + recent: the next tracked frames project
+            # exactly the window's landmarks, and evicting up to ~2048 of
+            # them in one epoch momentarily thinned the tracked local map
+            # right at saturation (ADVICE r4)
+            covis_row = smap.covisibility()[kf_id]
+            window = [kf_id] + [
+                int(j)
+                for j in np.argsort(-covis_row)[: self.cfg.local_window]
+                if covis_row[j] >= 15 and j != kf_id
+            ]
             protect = np.concatenate(
-                [
-                    smap.keyframe_landmarks(kf_id),
-                    np.array(
-                        [i for i, _, _ in self._recent_lms], np.int64
-                    ),
-                ]
+                [smap.keyframe_landmarks(k) for k in window]
+                + [np.array([i for i, _, _ in self._recent_lms], np.int64)]
             )
             self.n_lm_evictions += smap.evict_landmarks(
                 headroom - cap, protect

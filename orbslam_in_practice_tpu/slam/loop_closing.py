@@ -215,8 +215,15 @@ class LoopCloser:
             [self.cfg.scale_factor ** (2 * i) for i in range(self.cfg.n_levels)],
             np.float32,
         )
+        # pad bucket sized from the actual correspondence count (power-of-2,
+        # floored at f_max so the common case keeps one compiled shape):
+        # after guided expansion the deduped fwd+bwd+original set can exceed
+        # f_max, and clipping there silently dropped the grown matches the
+        # refit exists to use (ADVICE r4)
         n_pad = smap.f_max
-        m = min(len(pairs), n_pad)
+        while n_pad < len(pairs):
+            n_pad *= 2
+        m = len(pairs)
         pa = np.zeros((n_pad, 3), np.float32)
         pb = np.zeros((n_pad, 3), np.float32)
         ua = np.zeros((n_pad, 2), np.float32)

@@ -29,7 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(n_frames: int, n_features: int = 2000, seed: int = 3):
+def build(n_frames: int, n_features: int = 2000, seed: int = 3, kind: str = "kitti"):
     """Shared by the slow test and this probe: sequence + config."""
     from orbslam_in_practice_tpu.config import SlamConfig
     from orbslam_in_practice_tpu.io.synthetic import SyntheticSequence
@@ -49,7 +49,7 @@ def build(n_frames: int, n_features: int = 2000, seed: int = 3):
         height=376,
         fx=718.0,
         fy=718.0,
-        kind="kitti",
+        kind=kind,
         step=0.12,  # ~0.12 m/frame against 5-20 m facades: KITTI-like
         seed=seed,
         depth_range=(5.0, 20.0),
@@ -152,6 +152,7 @@ def run(n_frames: int, n_features: int = 2000, seed: int = 3):
         # saturation counters (VERDICT r3 weak #3: every run artifact must
         # report whether local BA clipped anything)
         "mapper": tr.mapper.stats(),
+        "n_local_map_truncations": tr.n_local_map_truncations,
         "n_loop_closures": (
             tr.loop_closer.n_closures if tr.loop_closer is not None else 0
         ),
