@@ -148,6 +148,9 @@ def make_dist_ba(mesh: Mesh, axis: str = "d", iterations: int = 10, use_huber: b
         check_vma=False,
     )
     def step(prob: BAProblem):
+        # same MXU-precision policy as bundle_adjustment / pose_opt (the
+        # distributed solver must not carry a LOWER accuracy floor than the
+        # single-device one it is tested equivalent to)
         use_huber_arr = jnp.asarray(use_huber)
         dtype = prob.poses.dtype
 
@@ -177,8 +180,12 @@ def make_dist_ba(mesh: Mesh, axis: str = "d", iterations: int = 10, use_huber: b
             lam = jnp.where(ok, lam * 0.5, lam * 4.0)
             return poses, points, lam, jnp.where(ok, cost_new, cost_old)
 
-        init = (prob.poses, prob.points, jnp.asarray(1e-4, dtype), jnp.asarray(0.0, dtype))
-        poses, points, _, _ = lax.fori_loop(0, iterations, body, init)
+        with jax.default_matmul_precision("highest"):
+            init = (
+                prob.poses, prob.points,
+                jnp.asarray(1e-4, dtype), jnp.asarray(0.0, dtype),
+            )
+            poses, points, _, _ = lax.fori_loop(0, iterations, body, init)
         return poses, points
 
     return jax.jit(step)
