@@ -43,8 +43,8 @@ def _retrieve_candidates(
     forced: jnp.ndarray,
     n_cand: int = N_CAND,
 ):
-    """One device program for candidate retrieval: VLAD global-descriptor
-    similarity over ALL keyframes (cached per-KF table, one matvec) -> top-n
+    """One device program for candidate retrieval: mean-of-BRIEF global-
+    descriptor similarity over ALL keyframes (cached per-KF table, one matvec) -> top-n
     shortlist -> vmapped detailed Hamming matching. `forced` keyframe ids
     (the most RECENT keyframes) join the shortlist unconditionally: right
     after a loss the camera is still near the last mapped region, and

@@ -3,7 +3,8 @@ next #2 / ADVICE r3: the r3 gate stopped at frame 100, just short of the
 known tracking loss at ~122 — the gate now covers all 500 frames including
 every 90-degree turn).
 
-BASELINE.json config-3 regime: 1241x376, 2,000 features, 8 pyramid levels,
+BASELINE.json config-3 regime: 1241x376, 2,000 features, 4 pyramid levels
+(measured better than 8 at the 2k budget, tools/kitti_scale_probe.py),
 forward driving with smooth 90-degree turns (corridor world with corner
 structure and path clearance), sensor noise + exposure jitter, and the
 PRODUCTION budgets k_max=256 / l_max=16384 (SlamConfig defaults). Slot
