@@ -27,13 +27,21 @@ def make_trajectory(
     revisits its start — loop-closure regime), rotation (yaw-dominant),
     kitti (forward driving with smooth 90-degree turns — BASELINE config-3
     motion regime)."""
-    if kind == "kitti":
-        # Forward motion punctuated by alternating smooth 90-degree yaw
-        # arcs (KITTI-00-like blocks): heading integrates the yaw rate,
+    if kind in ("kitti", "kitti_loop"):
+        # Forward motion punctuated by smooth 90-degree yaw arcs
+        # (KITTI-00-like blocks): heading integrates the yaw rate,
         # position integrates the heading. A small lateral sway rides on
         # top — monocular two-view init at the pure focus of expansion is
         # degenerate (zero parallax at the FOE; real mono ORB-SLAM also
         # waits for parallax there), and real driving has it anyway.
+        #
+        # kitti: ALTERNATING turn signs — an S-course that never revisits
+        # (BASELINE config 3, no loop closure).
+        # kitti_loop: all four turns the SAME sign — a closed rounded-
+        # rectangle block circuit; after frame 4*(straight+turn_len) the
+        # camera re-drives the start street with the same heading
+        # (BASELINE config 4, the Sim3 loop-closure regime at production
+        # budgets — VERDICT r4 next #3).
         straight, turn_len = 90, 36
         yaw_rate = np.zeros(n_frames, np.float64)
         period = straight + turn_len
@@ -41,7 +49,7 @@ def make_trajectory(
             a = s * period + straight
             b = min(a + turn_len, n_frames)
             if a < n_frames:
-                sign = 1.0 if s % 2 == 0 else -1.0
+                sign = 1.0 if (kind == "kitti_loop" or s % 2 == 0) else -1.0
                 yaw_rate[a:b] = sign * (np.pi / 2) / turn_len
         psi = np.concatenate([[0.0], np.cumsum(yaw_rate)])[:-1]
         dirs = np.stack([np.sin(psi), np.zeros_like(psi), np.cos(psi)], -1)
@@ -206,7 +214,7 @@ class SyntheticSequence:
                 [rad * np.sin(phi), yy, r_orb - rad * np.cos(phi)],
                 axis=-1,
             ).astype(np.float32)
-        elif kind == "kitti":
+        elif kind in ("kitti", "kitti_loop"):
             # corridor scene: facade quads lining both sides of the driven
             # path (building-wall statistics), sampled at random path
             # stations with lateral offsets in depth_range — every heading
@@ -323,7 +331,7 @@ class SyntheticSequence:
         # complete the frame. All world-anchored: a texture corner is a
         # genuine static 3D point, consistent under camera rotation.
         to_cam = centers_w.mean(axis=0)[None, :] - self.pts
-        if kind == "kitti":
+        if kind in ("kitti", "kitti_loop"):
             # a corridor's mean center is meaningless at the path ends:
             # face each facade quad at the path station it was spawned from
             to_cam = centers_w[self._station] - self.pts

@@ -1,0 +1,150 @@
+"""Production-budget LOOP-CLOSURE probe (VERDICT r4 next #3 / BASELINE
+config 4: "KITTI 00 WITH Sim3 loop closure").
+
+World: kind="kitti_loop" — the kitti corridor world driven around a closed
+rounded-rectangle block (four same-sign 90-degree turns; the circuit
+closes after 4*(90+36)=504 frames and then RE-DRIVES the start street
+with matching heading, revisit offset <= ~0.45 m on the 60 m circuit).
+Budgets are the production regime of KITTI500_r04.json: 1241x376, 2k
+features, 4 levels, k_max=256 / l_max=16384, eviction active — the exact
+combination (closure + eviction + fuse-merge gating at production
+density) that produced round 4's merge-cascade bug and had never been
+exercised together.
+
+Gates (asserted here AND in tests/test_e2e_kitti_scale.py's slow gate):
+  - >= 1 Sim3 loop closure fires on the revisit leg;
+  - post-closure ATE < pre-closure ATE (captured around the closure);
+  - zero merge cascade: n_fuse_merges stays bounded;
+  - the run still tracks (>0.9) and ends with production-scale maps.
+
+Usage: timeout 4000 python tools/kitti_loop_probe.py [--frames 600]
+Writes KITTI_LOOP_r05.json.
+
+Ref: the capability the reference's dead Sim3Solver gestures at
+(/root/reference/src/Sim3Solver.cpp:7-69 — computed, discarded, never
+called); loop closing itself is absent there (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=600)
+    ap.add_argument("--json-out", default="KITTI_LOOP_r05.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        _os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        try:
+            import jax._src.xla_bridge as _xb
+
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from tools.kitti_scale_probe import build
+    from orbslam_in_practice_tpu.io.evaluation import ate_rmse
+    from orbslam_in_practice_tpu.slam.tracking import TrackingState
+    from orbslam_in_practice_tpu.system import SlamSystem
+
+    seq, cfg = build(args.frames, kind="kitti_loop")
+    assert cfg.enable_loop_closing
+    system = SlamSystem(cfg)
+    tr = system.tracker
+    gt_all = seq.gt_centers()
+
+    # capture ATE immediately before/after each applied closure: wrap
+    # close_loop so the comparison uses the same frames and the same
+    # Sim3-aligned ATE harness
+    closure_events = []
+    lc = tr.loop_closer
+    orig_close = lc.close_loop
+
+    def close_and_measure(smap, kf_id, cand, s, R, t, **kw):
+        n = tr.frame_id + 1
+        pre, _, _ = ate_rmse(system.get_trajectory(), gt_all[:n])
+        out = orig_close(smap, kf_id, cand, s, R, t, **kw)
+        post, _, _ = ate_rmse(system.get_trajectory(), gt_all[:n])
+        closure_events.append(
+            {
+                "frame": tr.frame_id,
+                "kf": int(kf_id),
+                "cand": int(cand),
+                "scale": float(s),
+                "ate_pre": float(pre),
+                "ate_post": float(post),
+            }
+        )
+        return out
+
+    lc.close_loop = close_and_measure
+
+    n_tracked = 0
+    frame_ms = []
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        img = seq.render(i)
+        ta = time.perf_counter()
+        pose = system.track_monocular(img, i * 0.1)
+        frame_ms.append((time.perf_counter() - ta) * 1e3)
+        if pose is not None and tr.state == TrackingState.OK:
+            n_tracked += 1
+    wall = time.perf_counter() - t0
+
+    rmse, n_aligned, _ = ate_rmse(system.get_trajectory(), gt_all)
+    path = float(np.linalg.norm(np.diff(gt_all, axis=0), axis=1).sum())
+    result = {
+        "backend": jax.default_backend(),
+        "frames": args.frames,
+        "kind": "kitti_loop",
+        "n_features": 2000,
+        "k_max": cfg.k_max,
+        "l_max": cfg.l_max,
+        "tracked_fraction": n_tracked / args.frames,
+        "ate_rmse": float(rmse),
+        "ate_pct_of_path": 100.0 * float(rmse) / path,
+        "path_length_m": path,
+        "n_aligned": int(n_aligned),
+        "n_loop_closures": lc.n_closures,
+        "closures": closure_events,
+        "mapper": tr.mapper.stats(),
+        "map": {k: v for k, v in system.map.stats().items() if np.isscalar(v)},
+        "n_local_map_truncations": tr.n_local_map_truncations,
+        "fps_slam_only": args.frames / (sum(frame_ms) / 1e3),
+        "wall_s_incl_render": wall,
+    }
+    print(json.dumps(result, indent=2))
+    with open(args.json_out, "w") as f:
+        json.dump(result, f, indent=2)
+
+    # the probe asserts its own gates so a bad TPU run cannot silently
+    # produce a green-looking artifact
+    assert lc.n_closures >= 1, "no loop closure fired on the revisit leg"
+    first = closure_events[0]
+    assert first["ate_post"] < first["ate_pre"], closure_events
+    assert result["mapper"]["n_fuse_merges"] < 2000, result["mapper"]
+    assert result["tracked_fraction"] > 0.9
+    print("ALL GATES PASS")
+
+
+if __name__ == "__main__":
+    main()
