@@ -239,6 +239,57 @@ def build_normal_equations(poses, points, prob: BAProblem, use_huber):
     return Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, w_g
 
 
+def schur_offdiag_chunked(T, Wg, contrib, cam_g, pv, n_cam, chunk=1024):
+    """Schur off-diagonal terms for LARGE camera counts (global /
+    distributed BA) via landmark-CHUNKED matmul assembly. Returns
+    (-S_offdiag (K, K, 6, 6), -b_contrib (K, 6)).
+
+    The round-4 scatter path materialized the (L, O_max, O_max, 6, 6)
+    pair tensor — 850 MB at the production global-BA shapes (L=10240,
+    O=24), and beyond HBM once XLA's loop double-buffering copied it
+    (measured OOM at 24 GB on the first production-budget loop closure,
+    round 5). Per chunk, the one-hot per-camera sums A_c, B_c factor the
+    Schur off-diagonal into ONE (K*6, C*3) @ (C*3, K*6) matmul —
+    MXU-shaped, fixed ~25 MB/chunk, no pair tensor, no serialized
+    scatter rows."""
+    dtype = T.dtype
+    L_, O_max = cam_g.shape
+    CHUNK = min(chunk, L_)
+    n_chunks = -(-L_ // CHUNK)
+    padL = n_chunks * CHUNK - L_
+
+    def padl(x):
+        return jnp.pad(x, ((0, padL),) + ((0, 0),) * (x.ndim - 1))
+
+    Tp, Wgp, contribp = padl(T), padl(Wg), padl(contrib)
+    cam_gp, pvp = padl(cam_g), padl(pv)  # pad rows: pv False -> inert
+    k6 = n_cam * 6
+
+    def body(i, acc):
+        S_acc, br_acc = acc
+
+        def sl(x):
+            return lax.dynamic_slice_in_dim(x, i * CHUNK, CHUNK, 0)
+
+        E = (
+            (sl(cam_gp)[..., None] == jnp.arange(n_cam)) & sl(pvp)[..., None]
+        ).astype(dtype)  # (C, O, K)
+        A = jnp.einsum("lok,loij->lkij", E, sl(Tp))  # (C, K, 6, 3)
+        B = jnp.einsum("lok,loij->lkij", E, sl(Wgp))  # (C, K, 6, 3)
+        # S[k,q,i,j] += sum_{l,z} A[l,k,i,z] B[l,q,j,z] as one matmul
+        Am = A.transpose(0, 3, 1, 2).reshape(CHUNK * 3, k6)
+        Bm = B.transpose(0, 3, 1, 2).reshape(CHUNK * 3, k6)
+        S_acc = S_acc - Am.T @ Bm
+        br_acc = br_acc - jnp.einsum("lok,loi->ki", E, sl(contribp))
+        return S_acc, br_acc
+
+    S_flat, br = lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((k6, k6), dtype), jnp.zeros((n_cam, 6), dtype)),
+    )
+    return S_flat.reshape(n_cam, 6, n_cam, 6).transpose(0, 2, 1, 3), br
+
+
 def schur_solve(Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam):
     """Damp, form Schur complement, solve cameras, back-substitute landmarks.
 
@@ -270,21 +321,9 @@ def schur_solve(Hcc, b_c, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam):
         S = S + jnp.eye(n_cam, dtype=dtype)[:, :, None, None] * Hcc_d[:, None]
         b_red = b_c - jnp.einsum("lok,loi->ki", E, contrib)
     else:
-        # Scatter path for large camera counts (distributed/global BA) where
-        # the (L, K, 6, 3) dense factors would not fit in memory.
-        outer = jnp.einsum("loik,lpjk->lopij", T, Wg)  # (L, O_max, O_max, 6, 6)
-        L_, O_max = cam_g.shape
-        ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
-        cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
-        pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
-        S = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
-        S = S.at[ci.reshape(-1), cj.reshape(-1)].add(
-            (-outer * pair_valid).reshape(-1, 6, 6)
-        )
-        S = S.at[jnp.arange(n_cam), jnp.arange(n_cam)].add(Hcc_d)
-        b_red = b_c.at[cam_g.reshape(-1)].add(
-            (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
-        )
+        S_neg, b_neg = schur_offdiag_chunked(T, Wg, contrib, cam_g, pv, n_cam)
+        S = S_neg + jnp.eye(n_cam, dtype=dtype)[:, :, None, None] * Hcc_d[:, None]
+        b_red = b_c + b_neg
 
     # Gauge fixing: zero fixed cameras' rows/cols, identity diagonal.
     free = (~fixed_cam).astype(dtype)

@@ -219,18 +219,11 @@ def _dist_schur(Hcc_global, b_c_global, Hpp, b_p, Wg, cam_g, pv, fixed_cam, lam,
         S_local = -jnp.einsum("lkiz,lqjz->kqij", A, B)
         b_local = -jnp.einsum("lok,loi->ki", E, contrib)
     else:
-        outer = jnp.einsum("loik,lpjk->lopij", T, Wg)
-        L_, O_max = cam_g.shape
-        ci = jnp.broadcast_to(cam_g[:, :, None], (L_, O_max, O_max))
-        cj = jnp.broadcast_to(cam_g[:, None, :], (L_, O_max, O_max))
-        pair_valid = (pv[:, :, None] & pv[:, None, :])[..., None, None].astype(dtype)
-        S_local = jnp.zeros((n_cam, n_cam, 6, 6), dtype)
-        S_local = S_local.at[ci.reshape(-1), cj.reshape(-1)].add(
-            (-outer * pair_valid).reshape(-1, 6, 6)
-        )
-        b_local = jnp.zeros((n_cam, 6), dtype).at[cam_g.reshape(-1)].add(
-            (-contrib * pv[..., None].astype(dtype)).reshape(-1, 6)
-        )
+        # landmark-chunked matmul assembly (optim.ba.schur_offdiag_chunked):
+        # fixed memory per chunk, no (L, O, O, 6, 6) pair tensor
+        from orbslam_in_practice_tpu.optim.ba import schur_offdiag_chunked
+
+        S_local, b_local = schur_offdiag_chunked(T, Wg, contrib, cam_g, pv, n_cam)
     # one psum for the Schur terms
     S_off = lax.psum(S_local, axis)
     b_off = lax.psum(b_local, axis)

@@ -284,3 +284,33 @@ def test_ba_obs_overflow_consistent(rng):
     assert adaptive_o_max(13, 12, cap=32) == 16
     assert adaptive_o_max(5, 12, cap=32) == 12
     assert adaptive_o_max(100, 12, cap=32) == 32
+
+
+def test_schur_chunked_matches_dense():
+    """The >64-camera Schur assembly (landmark-chunked matmuls, round 5 —
+    replaced the (L,O,O,6,6) scatter path that OOM'd at production
+    global-BA shapes) must agree with the dense one-hot path."""
+    import numpy as np
+
+    from orbslam_in_practice_tpu.optim import ba as ba_mod
+
+    rng = np.random.default_rng(7)
+    L, O, K = 37, 5, 9  # odd sizes exercise chunk padding
+    T = jnp.asarray(rng.normal(size=(L, O, 6, 3)).astype(np.float32))
+    Wg = jnp.asarray(rng.normal(size=(L, O, 6, 3)).astype(np.float32))
+    contrib = jnp.asarray(rng.normal(size=(L, O, 6)).astype(np.float32))
+    cam_g = jnp.asarray(rng.integers(0, K, (L, O)).astype(np.int32))
+    pv = jnp.asarray(rng.uniform(size=(L, O)) < 0.8)
+
+    dtype = jnp.float32
+    E = ((cam_g[..., None] == jnp.arange(K)) & pv[..., None]).astype(dtype)
+    A = jnp.einsum("lok,loij->lkij", E, T)
+    B = jnp.einsum("lok,loij->lkij", E, Wg)
+    S_dense = -jnp.einsum("lkiz,lqjz->kqij", A, B)
+    b_dense = -jnp.einsum("lok,loi->ki", E, contrib)
+
+    S_chunk, b_chunk = ba_mod.schur_offdiag_chunked(
+        T, Wg, contrib, cam_g, pv, K, chunk=8
+    )
+    np.testing.assert_allclose(np.asarray(S_chunk), np.asarray(S_dense), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b_chunk), np.asarray(b_dense), atol=2e-4)
