@@ -36,10 +36,18 @@ from orbslam_in_practice_tpu.slam.place_recognition import (
     center as place_center,
 )
 
-N_HYP = 128
+N_HYP = 512  # 3-point all-inlier probability at a 15% inlier rate is
+# ~0.4%/draw: 128 hypotheses found the true model ~40% of the time on true
+# revisits (round-5 funnel, tools/sim3_recall_probe.py); 512 raises that to
+# ~85% for free (one vmapped batch, Horn is tiny)
 MIN_INLIERS = 20
-# first-round RANSAC support worth spending a guided-expansion round on
-BOOTSTRAP_INLIERS = 8
+# first-round RANSAC support worth spending a guided-expansion round on.
+# Measured funnel (round 5): true revisits bootstrap at 4-6 first-round
+# inliers once drift has grown, false candidates cap at 2-3 — 8 left the
+# guided-expansion stage unreachable exactly when it was needed; final
+# acceptance still requires MIN_INLIERS=20 under both per-view pixel chi2
+# gates, which no false candidate approaches (max 3).
+BOOTSTRAP_INLIERS = 4
 # pixel chi2 gates, ORB-SLAM Sim3Solver convention (9.210 = chi2(2) @ 99%)
 PIX_CHI2 = 9.21
 
@@ -343,19 +351,26 @@ class LoopCloser:
         s, R, t, n_inl = self._ransac_pairs(
             smap, pairs, kf_id, cand, jax.random.PRNGKey(2)
         )
-        if BOOTSTRAP_INLIERS <= n_inl < MIN_INLIERS:
-            # marginal support: drift at the revisit shrinks the descriptor-
-            # only inlier set (measured 12-16 on true revisits, r3 probe) —
-            # grow it under the current Sim3 estimate and refit
+        # marginal support: drift at the revisit shrinks the descriptor-
+        # only inlier set (measured 2-17 first-round inliers on true
+        # revisits, tools/sim3_recall_probe.py round 5) — grow the set
+        # under the current Sim3 estimate and refit, ITERATIVELY: the
+        # refined Sim3 from round 1's grown set projects more accurately
+        # and recruits pairs the first (coarser) estimate missed.
+        allp = pairs
+        for grow_round in range(2):
+            if not (BOOTSTRAP_INLIERS <= n_inl < MIN_INLIERS):
+                break
             grown = self._guided_pairs(smap, kf_id, cand, s, R, t)
-            if len(grown):
-                allp = np.concatenate([pairs, grown], axis=0)
-                # dedupe by (lm_cur, lm_cand)
-                _, first = np.unique(allp[:, :2], axis=0, return_index=True)
-                allp = allp[np.sort(first)]
-                s, R, t, n_inl = self._ransac_pairs(
-                    smap, allp, kf_id, cand, jax.random.PRNGKey(3)
-                )
+            if not len(grown):
+                break
+            allp = np.concatenate([allp, grown], axis=0)
+            # dedupe by (lm_cur, lm_cand)
+            _, first = np.unique(allp[:, :2], axis=0, return_index=True)
+            allp = allp[np.sort(first)]
+            s, R, t, n_inl = self._ransac_pairs(
+                smap, allp, kf_id, cand, jax.random.PRNGKey(3 + grow_round)
+            )
         if n_inl < MIN_INLIERS:
             return False, None, None, None, n_inl
         return True, s, R, t, n_inl

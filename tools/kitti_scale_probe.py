@@ -29,7 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(n_frames: int, n_features: int = 2000, seed: int = 3, kind: str = "kitti"):
+def build(n_frames: int, n_features: int = 2000, seed: int = 3, kind: str = "kitti", step: float = 0.12, noise_sigma: float = 2.0, brightness_jitter: float = 0.08):
     """Shared by the slow test and this probe: sequence + config."""
     from orbslam_in_practice_tpu.config import SlamConfig
     from orbslam_in_practice_tpu.io.synthetic import SyntheticSequence
@@ -50,13 +50,13 @@ def build(n_frames: int, n_features: int = 2000, seed: int = 3, kind: str = "kit
         fx=718.0,
         fy=718.0,
         kind=kind,
-        step=0.12,  # ~0.12 m/frame against 5-20 m facades: KITTI-like
+        step=step,  # default ~0.12 m/frame against 5-20 m facades: KITTI-like
         seed=seed,
         depth_range=(5.0, 20.0),
         spread=(10.0, 3.0),
         size_range=(0.3, 1.2),
-        noise_sigma=2.0,
-        brightness_jitter=0.08,  # multiplicative exposure-gain jitter
+        noise_sigma=noise_sigma,
+        brightness_jitter=brightness_jitter,  # multiplicative exposure-gain jitter
     )
     cfg = SlamConfig(
         fx=718.0,

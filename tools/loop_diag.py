@@ -20,7 +20,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=600)
+    ap.add_argument("--frames", type=int, default=580)
+    ap.add_argument("--step", type=float, default=0.35)
+    ap.add_argument("--noise", type=float, default=4.0)
+    ap.add_argument("--jitter", type=float, default=0.15)
     ap.add_argument("--json-out", default="/tmp/loop_diag.json")
     args = ap.parse_args()
 
@@ -34,7 +37,10 @@ def main():
     from orbslam_in_practice_tpu.slam.tracking import TrackingState
     from orbslam_in_practice_tpu.system import SlamSystem
 
-    seq, cfg = build(args.frames, kind="kitti_loop")
+    seq, cfg = build(
+        args.frames, kind="kitti_loop", step=args.step,
+        noise_sigma=args.noise, brightness_jitter=args.jitter,
+    )
     system = SlamSystem(cfg)
     tr = system.tracker
     lc = tr.loop_closer
@@ -98,7 +104,7 @@ def main():
         "n_closures": lc.n_closures,
         "n_kf_inserts_with_diag": len(events),
         # only the interesting tail (revisit leg) in full
-        "revisit_events": [e for e in events if e["frame"] >= 460],
+        "revisit_events": [e for e in events if e["frame"] >= 440],
         "n_events_with_cands": sum(1 for e in events if e["cands"]),
         "n_events_with_old_covis": sum(1 for e in events if e["old_covis_nbs"]),
     }
