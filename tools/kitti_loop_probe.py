@@ -88,17 +88,20 @@ def main():
     tr = system.tracker
     gt_all = seq.gt_centers()
 
-    # capture ATE immediately before/after each applied closure: wrap
-    # close_loop so the comparison uses the same frames and the same
-    # Sim3-aligned ATE harness
-    closure_events = []
-    lc = tr.loop_closer
-    orig_close = lc.close_loop
+    # capture ATE immediately before/after each applied closure. Wrap at
+    # CLASS level: tracking.reset() (reset-on-early-lost) replaces
+    # tr.loop_closer, so an instance-level wrapper silently disappears —
+    # probes 3/4 of this round read a stale object and reported
+    # n_loop_closures=0 unconditionally.
+    from orbslam_in_practice_tpu.slam.loop_closing import LoopCloser
 
-    def close_and_measure(smap, kf_id, cand, s, R, t, **kw):
+    closure_events = []
+    orig_close = LoopCloser.close_loop
+
+    def close_and_measure(self, smap, kf_id, cand, s, R, t, **kw):
         n = tr.frame_id + 1
         pre, _, _ = ate_rmse(system.get_trajectory(), gt_all[:n])
-        out = orig_close(smap, kf_id, cand, s, R, t, **kw)
+        out = orig_close(self, smap, kf_id, cand, s, R, t, **kw)
         post, _, _ = ate_rmse(system.get_trajectory(), gt_all[:n])
         closure_events.append(
             {
@@ -112,7 +115,15 @@ def main():
         )
         return out
 
-    lc.close_loop = close_and_measure
+    LoopCloser.close_loop = close_and_measure
+    n_resets = [0]
+    orig_reset = tr.reset
+
+    def reset_counted():
+        n_resets[0] += 1
+        return orig_reset()
+
+    tr.reset = reset_counted
 
     n_tracked = 0
     frame_ms = []
@@ -140,7 +151,8 @@ def main():
         "ate_pct_of_path": 100.0 * float(rmse) / path,
         "path_length_m": path,
         "n_aligned": int(n_aligned),
-        "n_loop_closures": lc.n_closures,
+        "n_loop_closures": tr.loop_closer.n_closures,
+        "n_resets": n_resets[0],
         "closures": closure_events,
         "mapper": tr.mapper.stats(),
         "map": {k: v for k, v in system.map.stats().items() if np.isscalar(v)},
@@ -154,7 +166,8 @@ def main():
 
     # the probe asserts its own gates so a bad TPU run cannot silently
     # produce a green-looking artifact
-    assert lc.n_closures >= 1, "no loop closure fired on the revisit leg"
+    LoopCloser.close_loop = orig_close
+    assert tr.loop_closer.n_closures >= 1, "no loop closure fired on the revisit leg"
     first = closure_events[0]
     assert first["ate_post"] < first["ate_pre"], closure_events
     # merge-cascade bound: the r4 cascade bug produced 14,408 merges in

@@ -46,12 +46,15 @@ def main():
     lc = tr.loop_closer
     smap = system.map
 
-    events = []
-    orig_detect = lc.detect_candidates
-    orig_sim3 = lc.compute_sim3
+    # class-level wraps: reset() replaces tr.loop_closer mid-run
+    from orbslam_in_practice_tpu.slam.loop_closing import LoopCloser
 
-    def detect_logged(smap_, kf_id, n_cand=3):
-        cands = orig_detect(smap_, kf_id, n_cand)
+    events = []
+    orig_detect = LoopCloser.detect_candidates
+    orig_sim3 = LoopCloser.compute_sim3
+
+    def detect_logged(self, smap_, kf_id, n_cand=3):
+        cands = orig_detect(self, smap_, kf_id, n_cand)
         cur_seq = int(smap_.kf_seq[kf_id])
         # implicit bridge: covisible keyframes much older than the guard
         covis_row = smap_.covisibility()[kf_id]
@@ -83,15 +86,15 @@ def main():
         )
         return cands
 
-    def sim3_logged(smap_, kf_id, cand):
-        out = orig_sim3(smap_, kf_id, cand)
+    def sim3_logged(self, smap_, kf_id, cand):
+        out = orig_sim3(self, smap_, kf_id, cand)
         events[-1].setdefault("sim3", []).append(
             {"cand": int(cand), "ok": bool(out[0]), "n_inl": int(out[4])}
         )
         return out
 
-    lc.detect_candidates = detect_logged
-    lc.compute_sim3 = sim3_logged
+    LoopCloser.detect_candidates = detect_logged
+    LoopCloser.compute_sim3 = sim3_logged
 
     n_tracked = 0
     for i in range(args.frames):
@@ -101,7 +104,7 @@ def main():
 
     summary = {
         "tracked": n_tracked / args.frames,
-        "n_closures": lc.n_closures,
+        "n_closures": tr.loop_closer.n_closures,
         "n_kf_inserts_with_diag": len(events),
         # only the interesting tail (revisit leg) in full
         "revisit_events": [e for e in events if e["frame"] >= 440],
