@@ -56,6 +56,11 @@ class SlamConfig:
     ba_obs_max: int = 32768  # local-BA observation hard cap
     # loop closing
     enable_loop_closing: bool = True
+    # asynchronous local mapping (slam/async_mapping.py): keyframe epochs +
+    # loop closing run in a worker thread overlapped with tracking — the
+    # reference's producer/consumer architecture (include/LocalMapping.h:
+    # 17-22). False = deterministic synchronous epochs (tests default).
+    async_mapping: bool = False
 
     @property
     def cam(self) -> CameraIntrinsics:

@@ -282,6 +282,19 @@ class LocalMapper:
         if len(lm_ids) == 0:
             return
         lm_ids = np.asarray(lm_ids)
+        with smap.lock:
+            outs, has_obs, L_real = self._refresh_dispatch(smap, lm_ids)
+        normal, min_d, max_d, desc, oct_ref = jax.device_get(outs)
+        with smap.lock:
+            smap.write_landmark_invariants(
+                lm_ids,
+                normal[:L_real], min_d[:L_real], max_d[:L_real],
+                desc[:L_real], oct_ref[:L_real], has_obs[:L_real],
+            )
+
+    def _refresh_dispatch(self, smap, lm_ids: np.ndarray):
+        """Host assembly + kernel dispatch for refresh_landmarks (call with
+        smap.lock held; the returned lazy arrays are device_get elsewhere)."""
         kf_idx, feat_idx, which = smap.observations_of(lm_ids)
         L_real = len(lm_ids)
         L = max(64, int(2 ** np.ceil(np.log2(L_real))))
@@ -320,12 +333,7 @@ class LocalMapper:
             jnp.asarray(self.cfg.scale_factor, jnp.float32),
             jnp.asarray(self.cfg.n_levels, jnp.int32),
         )
-        normal, min_d, max_d, desc, oct_ref = jax.device_get(outs)
-        smap.write_landmark_invariants(
-            lm_ids,
-            normal[:L_real], min_d[:L_real], max_d[:L_real],
-            desc[:L_real], oct_ref[:L_real], has_obs[:L_real],
-        )
+        return outs, has_obs, L_real
 
     # ---------- new map point creation ----------
 
@@ -339,10 +347,26 @@ class LocalMapper:
         round trips and re-uploaded dirtied mirrors between neighbors
         (tools/profile_mapping.py: 2.15 s/keyframe warm). Conflict policy
         matches the sequential semantics: the first accepting neighbor (in
-        covisibility order) claims a feature."""
+        covisibility order) claims a feature.
+
+        Async-safe: assembly and apply run under smap.lock; the device wait
+        is lock-free, and apply re-validates keyframe identity (kf_seq) and
+        feature freeness against post-wait host truth."""
+        with smap.lock:
+            disp = self._create_dispatch(smap, kf_id, n_neighbors)
+            if disp is None:
+                return 0
+        outs, lanes, free1, oct1, seqs = disp
+        m_all, Xw_all, acc_all = jax.device_get(outs)
+        with smap.lock:
+            return self._create_apply(
+                smap, kf_id, lanes, free1, oct1, seqs, m_all, Xw_all, acc_all
+            )
+
+    def _create_dispatch(self, smap, kf_id: int, n_neighbors: int):
         covis = smap.covisibility()
         if smap.n_kf_active() < 2:
-            return 0
+            return None
         row = covis[kf_id].copy()
         order = np.argsort(-row)
         neighbors = [int(i) for i in order[:n_neighbors] if row[i] >= 10 and i != kf_id]
@@ -381,7 +405,7 @@ class LocalMapper:
             epi_th = TH_HIGH if baseline / z_med > 0.04 else TH_LOW
             lanes.append((nb, T2, epi_th))
         if not lanes:
-            return 0
+            return None
 
         NB = n_neighbors  # fixed lane count (stable jit cache)
         F = smap.f_max
@@ -406,35 +430,50 @@ class LocalMapper:
             nb_angle[i] = angle_all[nb]
             nb_th[i] = epi_th
             nb_idx[i] = nb
-        oct1 = oct_all[kf_id]
+        oct1 = oct_all[kf_id].copy()
 
-        m_all, Xw_all, acc_all = jax.device_get(
-            _match_triangulate_neighbors(
-                jnp.asarray(T1),
-                jnp.asarray(xy_all[kf_id]),
-                jnp.asarray(free1),
-                jnp.asarray(oct1),
-                jnp.asarray(angle_all[kf_id]),
-                jnp.asarray(nb_T),
-                jnp.asarray(nb_xy),
-                jnp.asarray(nb_free),
-                jnp.asarray(nb_oct),
-                jnp.asarray(nb_angle),
-                jnp.asarray(nb_th),
-                smap.kf_desc_pm1,
-                jnp.asarray(kf_id, jnp.int32),
-                jnp.asarray(nb_idx),
-                jnp.asarray(self.cfg.cam.K),
-                jnp.asarray(inv_s2),
-                jnp.asarray(inv_s2[oct1.clip(0, len(inv_s2) - 1)]),
-            )
+        outs = _match_triangulate_neighbors(
+            jnp.asarray(T1),
+            jnp.asarray(xy_all[kf_id]),
+            jnp.asarray(free1),
+            jnp.asarray(oct1),
+            jnp.asarray(angle_all[kf_id]),
+            jnp.asarray(nb_T),
+            jnp.asarray(nb_xy),
+            jnp.asarray(nb_free),
+            jnp.asarray(nb_oct),
+            jnp.asarray(nb_angle),
+            jnp.asarray(nb_th),
+            smap.kf_desc_pm1,
+            jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(nb_idx),
+            jnp.asarray(self.cfg.cam.K),
+            jnp.asarray(inv_s2),
+            jnp.asarray(inv_s2[oct1.clip(0, len(inv_s2) - 1)]),
         )
+        # keyframe-identity snapshot: apply aborts a keyframe whose slot was
+        # recycled (evicted + reallocated) during the lock-free device wait
+        seqs = {k: int(smap.kf_seq[k]) for k in [kf_id] + [nb for nb, _, _ in lanes]}
+        return outs, lanes, free1, oct1, seqs
 
+    def _create_apply(
+        self, smap, kf_id, lanes, free1, oct1, seqs, m_all, Xw_all, acc_all
+    ) -> int:
+        kf_valid = smap.kf_valid_host()
+        if not kf_valid[kf_id] or int(smap.kf_seq[kf_id]) != seqs[kf_id]:
+            return 0
+        obs_all = smap.hview("kf_obs")
+        desc_all = smap.hview("kf_desc_pm1")
         n_created = 0
-        claimed = ~free1  # features already bound (first neighbor wins)
+        # re-derive freeness from CURRENT truth (tracking may have bound
+        # features or scrubbed observations during the device wait)
+        claimed = ~(free1 & (obs_all[kf_id] < 0))
         seq = int(smap.kf_seq[kf_id])
         for i, (nb, _, _) in enumerate(lanes):
-            new_feats = np.nonzero(acc_all[i] & ~claimed)[0]
+            if not kf_valid[nb] or int(smap.kf_seq[nb]) != seqs[nb]:
+                continue
+            nb_free_now = obs_all[nb, np.maximum(m_all[i], 0)] < 0
+            new_feats = np.nonzero(acc_all[i] & ~claimed & nb_free_now)[0]
             if len(new_feats) == 0:
                 continue
             ids = smap.allocate_landmarks(len(new_feats))
@@ -468,7 +507,48 @@ class LocalMapper:
         """Windowed local bundle adjustment (BASELINE.json config 2).
 
         Window: the new KF + its most covisible neighbors (cfg.local_window);
-        fixed: all other KFs observing the window's landmarks + gauge."""
+        fixed: all other KFs observing the window's landmarks + gauge.
+
+        Async-safe: assembly/apply under smap.lock, lock-free device solve;
+        write-back drops cameras whose slot was recycled mid-solve and
+        scrubs only observations whose binding is unchanged."""
+        with smap.lock:
+            disp = self._ba_dispatch(smap, kf_id, iterations)
+            if disp is None:
+                return
+        outs, cams, lm_ids, kf_idx, feat_idx, obs_len, seqs = disp
+        poses_new, points_new, chi2 = jax.device_get(outs)
+        with smap.lock:
+            kf_valid = smap.kf_valid_host()
+            live = [
+                i
+                for i, k in enumerate(cams)
+                if kf_valid[k] and int(smap.kf_seq[k]) == seqs[i]
+            ]
+            if live:
+                smap.set_kf_poses(
+                    [cams[i] for i in live], np.asarray(poses_new)[live]
+                )
+            # landmark erasure is worker-local (sequential), so lm_ids are
+            # live; positions write back unconditionally
+            smap.set_landmark_positions(lm_ids, np.asarray(points_new)[: len(lm_ids)])
+            # scrub outlier observations (chi2 > 5.991), only where the
+            # observing keyframe is still the same keyframe
+            chi2_h = np.asarray(chi2)[:obs_len]
+            bad = chi2_h > 5.991
+            if bad.any():
+                seq_arr = np.asarray(seqs)
+                cam_of_obs = self._obs_cam_slot
+                ok_kf = (
+                    kf_valid[kf_idx[bad]]
+                    & (smap.kf_seq[kf_idx[bad]] == seq_arr[cam_of_obs[bad]])
+                )
+                if ok_kf.any():
+                    smap.scrub_observations(
+                        kf_idx[bad][ok_kf], feat_idx[bad][ok_kf]
+                    )
+
+    def _ba_dispatch(self, smap, kf_id: int, iterations: int):
         covis = smap.covisibility()
         row = covis[kf_id]
         order = np.argsort(-row)
@@ -476,12 +556,12 @@ class LocalMapper:
             int(i) for i in order[: self.cfg.local_window - 1] if row[i] >= 15 and i != kf_id
         ]
         if len(window) < 2:
-            return
+            return None
         lm_ids = np.unique(
             np.concatenate([smap.keyframe_landmarks(k) for k in window])
         )
         if len(lm_ids) == 0:
-            return
+            return None
         if len(lm_ids) > self.ba_l_cap:
             # hard cap: keep the landmarks with the MOST observations (the
             # strongest map structure), not the lowest slot ids
@@ -508,12 +588,12 @@ class LocalMapper:
         oldest = min(window, key=lambda k: smap.kf_seq[k])
         fixed[cam_slot[oldest]] = True
         if not fixed.any() or len(cams) == 1:
-            return
+            return None
 
         keep = np.isin(kf_idx, cams)
         kf_idx, feat_idx, which = kf_idx[keep], feat_idx[keep], which[keep]
         if len(kf_idx) == 0:
-            return
+            return None
         obs_oct = smap.hview("kf_octave")[kf_idx, feat_idx]
         # Order observations STRONGEST FIRST: window-camera observations
         # (the poses being optimized), then by covisibility of the observing
@@ -582,15 +662,14 @@ class LocalMapper:
             fixed_cam=jnp.asarray(fixed_pad),
             K=jnp.asarray(self.cfg.cam.K),
         )
-        poses_new, points_new, chi2 = bundle_adjustment(prob, iterations=iterations)
-        # write back (the reference forgot this — src/Optimizer.cpp:127-128)
-        smap.set_kf_poses(cams, np.asarray(poses_new)[: len(cams)])
-        smap.set_landmark_positions(lm_ids, np.asarray(points_new)[: len(lm_ids)])
-        # scrub outlier observations (chi2 > 5.991 or negative depth)
-        chi2_h = np.asarray(chi2)[: len(obs_cam)]
-        bad = chi2_h > 5.991
-        if bad.any():
-            smap.scrub_observations(kf_idx[bad], feat_idx[bad])
+        outs = bundle_adjustment(prob, iterations=iterations)
+        # write-back happens in local_ba (the reference forgot it entirely —
+        # src/Optimizer.cpp:127-128). Outputs stay PADDED (K_pad) until the
+        # host slices them: a device-side [:len(cams)] slice would mint one
+        # XLA program per distinct camera count.
+        self._obs_cam_slot = obs_cam  # obs -> camera slot, for scrub guard
+        seqs = [int(smap.kf_seq[k]) for k in cams]
+        return outs, cams, lm_ids, kf_idx, feat_idx, len(obs_cam), seqs
 
     # ---------- fusion ----------
 
@@ -611,7 +690,20 @@ class LocalMapper:
         passes the loop candidate's neighborhood (the SearchAndFuse role:
         merging the revisit's duplicate landmarks into the corrected
         originals; without it the loop sides stay disjoint and tracking
-        re-drifts on the duplicates)."""
+        re-drifts on the duplicates).
+
+        Async-safe like create_new_points: lock around assembly/apply,
+        lock-free device wait, seq-validated apply against current truth."""
+        with smap.lock:
+            disp = self._fuse_dispatch(smap, kf_id, n_neighbors, neighbors)
+            if disp is None:
+                return 0
+        outs, neighbors, ids_pad, seqs = disp
+        m_all = np.asarray(jax.device_get(outs))
+        with smap.lock:
+            return self._fuse_apply(smap, kf_id, neighbors, ids_pad, seqs, m_all)
+
+    def _fuse_dispatch(self, smap, kf_id: int, n_neighbors: int, neighbors):
         covis = smap.covisibility()
         row = covis[kf_id]
         if neighbors is None:
@@ -623,7 +715,7 @@ class LocalMapper:
             neighbors = [int(i) for i in neighbors[:n_neighbors] if i != kf_id]
         lm_ids = smap.keyframe_landmarks(kf_id)
         if len(lm_ids) == 0 or not neighbors:
-            return 0
+            return None
         pad = smap.f_max
         ids_pad = np.zeros(pad, np.int32)
         ids_pad[: min(len(lm_ids), pad)] = lm_ids[:pad]
@@ -645,28 +737,39 @@ class LocalMapper:
             nb_angle[i] = smap.hview("kf_angle")[nb]
             nb_idx[i] = nb
         lm_pos_h = smap.hview("lm_pos")
-        m_all = np.asarray(
-            _fuse_match_neighbors(
-                jnp.asarray(lm_pos_h[ids_pad]),
-                jnp.asarray(smap.hview("lm_desc_pm1")[ids_pad]),
-                jnp.asarray(base_valid),
-                jnp.asarray(smap.hview("lm_octave")[ids_pad]),
-                jnp.asarray(nb_T),
-                jnp.asarray(nb_xy),
-                jnp.asarray(nb_fv),
-                jnp.asarray(nb_oct),
-                jnp.asarray(nb_angle),
-                smap.kf_desc_pm1,
-                jnp.asarray(nb_idx),
-                jnp.asarray(self.cfg.cam.K),
-                jnp.asarray(self.scale_factors),
-            )
+        outs = _fuse_match_neighbors(
+            jnp.asarray(lm_pos_h[ids_pad]),
+            jnp.asarray(smap.hview("lm_desc_pm1")[ids_pad]),
+            jnp.asarray(base_valid),
+            jnp.asarray(smap.hview("lm_octave")[ids_pad]),
+            jnp.asarray(nb_T),
+            jnp.asarray(nb_xy),
+            jnp.asarray(nb_fv),
+            jnp.asarray(nb_oct),
+            jnp.asarray(nb_angle),
+            smap.kf_desc_pm1,
+            jnp.asarray(nb_idx),
+            jnp.asarray(self.cfg.cam.K),
+            jnp.asarray(self.scale_factors),
         )
+        seqs = {k: int(smap.kf_seq[k]) for k in [kf_id] + neighbors}
+        return outs, neighbors, ids_pad, seqs
+
+    def _fuse_apply(self, smap, kf_id, neighbors, ids_pad, seqs, m_all) -> int:
+        kf_valid = smap.kf_valid_host()
+        if not kf_valid[kf_id] or int(smap.kf_seq[kf_id]) != seqs[kf_id]:
+            return 0
+        kf_pose_h = smap.hview("kf_pose")
+        # landmark identity: a slot recycled during the device wait must not
+        # receive the stale match results (lm_valid re-checked per landmark)
+        lm_valid_now = smap.lm_valid_host()[ids_pad]
         n_fused = 0
         for i, nb in enumerate(neighbors):
+            if not kf_valid[nb] or int(smap.kf_seq[nb]) != seqs[nb]:
+                continue
             m_h = m_all[i]
             obs_b = smap.hview("kf_obs")[nb]
-            hit = np.nonzero(m_h >= 0)[0]
+            hit = np.nonzero((m_h >= 0) & lm_valid_now)[0]
             lms = ids_pad[hit]
             feats = m_h[hit]
             existing = obs_b[feats]
@@ -718,24 +821,25 @@ class LocalMapper:
         of its creation or it is erased. Ages are measured in keyframe
         SEQUENCE numbers (slot-recycling safe); stale entries whose slot was
         recycled (uid mismatch) or already erased are dropped."""
-        cur_seq = int(smap.kf_seq[current_kf])
-        lm_valid = smap.lm_valid_host()
-        keep, erase = [], []
-        for lm_id, uid, created_seq in self._recent_lms:
-            if smap.lm_uid[lm_id] != uid or not lm_valid[lm_id]:
-                continue  # recycled or already erased elsewhere
-            age = cur_seq - created_seq
-            n_obs = smap.lm_obs_count[lm_id]
-            if age >= 2:
-                if n_obs < 3:
-                    erase.append(lm_id)
-                # else: graduated
-            else:
-                keep.append((lm_id, uid, created_seq))
-        self._recent_lms = keep
-        if erase:
-            smap.erase_landmarks(np.array(erase, np.int32))
-        return len(erase)
+        with smap.lock:
+            cur_seq = int(smap.kf_seq[current_kf])
+            lm_valid = smap.lm_valid_host()
+            keep, erase = [], []
+            for lm_id, uid, created_seq in self._recent_lms:
+                if smap.lm_uid[lm_id] != uid or not lm_valid[lm_id]:
+                    continue  # recycled or already erased elsewhere
+                age = cur_seq - created_seq
+                n_obs = smap.lm_obs_count[lm_id]
+                if age >= 2:
+                    if n_obs < 3:
+                        erase.append(lm_id)
+                    # else: graduated
+                else:
+                    keep.append((lm_id, uid, created_seq))
+            self._recent_lms = keep
+            if erase:
+                smap.erase_landmarks(np.array(erase, np.int32))
+            return len(erase)
 
     def cull_keyframes(self, smap, kf_id: int) -> int:
         """Redundant-keyframe culling (ORB-SLAM KeyFrameCulling semantics,
@@ -743,6 +847,10 @@ class LocalMapper:
         removed when >= 90% of its landmarks are observed by at least 3
         other keyframes at the same or a finer octave. Vectorized via a
         per-landmark cumulative octave histogram."""
+        with smap.lock:
+            return self._cull_keyframes_locked(smap, kf_id)
+
+    def _cull_keyframes_locked(self, smap, kf_id: int) -> int:
         covis = smap.covisibility()
         # the two INITIAL keyframes (by insertion seq, slot-recycling safe)
         # are exempt — they carry the map gauge
@@ -815,34 +923,38 @@ class LocalMapper:
         (VERDICT r3 next #3); intermediate stages tolerate one-epoch-stale
         invariants (create does not read them; fuse reads desc/dist gates
         whose provisional values are permissive)."""
-        # coalesce the just-inserted keyframe's row-mirror updates (6
-        # tables) into one program before the epoch's kernels read them
-        smap.flush_mirrors()
+        with smap.lock:
+            if not smap.kf_valid_host()[kf_id]:
+                return  # evicted while queued (async mode)
+            # coalesce the just-inserted keyframe's row-mirror updates (6
+            # tables) into one program before the epoch's kernels read them
+            smap.flush_mirrors()
         self.cull_landmarks(smap, kf_id)
-        # landmark-table pressure: keep headroom for this epoch's new
-        # points by evicting the weakest old landmarks (never the current
-        # KF's set or the still-maturing recent ones)
-        cap = smap.landmark_capacity()
-        headroom = min(2048, smap.l_max // 8)
-        if cap < headroom:
-            # protect the whole covisible WINDOW's landmark union, not just
-            # the current KF's set + recent: the next tracked frames project
-            # exactly the window's landmarks, and evicting up to ~2048 of
-            # them in one epoch momentarily thinned the tracked local map
-            # right at saturation (ADVICE r4)
-            covis_row = smap.covisibility()[kf_id]
-            window = [kf_id] + [
-                int(j)
-                for j in np.argsort(-covis_row)[: self.cfg.local_window]
-                if covis_row[j] >= 15 and j != kf_id
-            ]
-            protect = np.concatenate(
-                [smap.keyframe_landmarks(k) for k in window]
-                + [np.array([i for i, _, _ in self._recent_lms], np.int64)]
-            )
-            self.n_lm_evictions += smap.evict_landmarks(
-                headroom - cap, protect
-            )
+        with smap.lock:
+            # landmark-table pressure: keep headroom for this epoch's new
+            # points by evicting the weakest old landmarks (never the current
+            # KF's set or the still-maturing recent ones)
+            cap = smap.landmark_capacity()
+            headroom = min(2048, smap.l_max // 8)
+            if cap < headroom:
+                # protect the whole covisible WINDOW's landmark union, not
+                # just the current KF's set + recent: the next tracked frames
+                # project exactly the window's landmarks, and evicting up to
+                # ~2048 of them in one epoch momentarily thinned the tracked
+                # local map right at saturation (ADVICE r4)
+                covis_row = smap.covisibility()[kf_id]
+                window = [kf_id] + [
+                    int(j)
+                    for j in np.argsort(-covis_row)[: self.cfg.local_window]
+                    if covis_row[j] >= 15 and j != kf_id
+                ]
+                protect = np.concatenate(
+                    [smap.keyframe_landmarks(k) for k in window]
+                    + [np.array([i for i, _, _ in self._recent_lms], np.int64)]
+                )
+                self.n_lm_evictions += smap.evict_landmarks(
+                    headroom - cap, protect
+                )
         self.create_new_points(smap, kf_id)
         self.fuse_neighbors(smap, kf_id)
         if smap.n_kf_active() >= 3:
@@ -851,8 +963,15 @@ class LocalMapper:
             self.cull_keyframes(smap, kf_id)
         # one end-of-epoch refresh: the keyframe's (post-create/fuse/BA)
         # landmark set, computed from post-BA geometry
-        self.refresh_landmarks(smap, smap.keyframe_landmarks(kf_id))
+        with smap.lock:
+            kf_lms = (
+                smap.keyframe_landmarks(kf_id)
+                if smap.kf_valid_host()[kf_id]
+                else np.zeros(0, np.int64)
+            )
+        self.refresh_landmarks(smap, kf_lms)
         # coalesce every pending mirror-row update into ONE program before
         # tracking resumes (the next fused frame reads 7 landmark mirrors —
         # lazily that is 7 separate relay execute sequences)
-        smap.flush_mirrors()
+        with smap.lock:
+            smap.flush_mirrors()

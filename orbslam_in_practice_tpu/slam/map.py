@@ -48,10 +48,21 @@ unboundedly, include/Map.h:28-29; fixed shapes need recycling):
 Mutation is host-driven (single-writer — the reference had shared mutable
 state and zero locks, SURVEY.md §5 race-detection note); hot queries
 (covisibility, local-map assembly) are jitted against the device mirrors.
+
+CONCURRENCY (round 5, async local mapping — the producer/consumer split the
+reference intended for its mapping thread, include/LocalMapping.h:17-22):
+`self.lock` (an RLock) guards ALL host-truth reads/writes and mirror-cache
+(`_dev`/_dirty) access. The tracking thread and the mapping worker hold it
+for their host sections and release it across device waits — safe because
+captured jax arrays are immutable, so an in-flight device program never
+observes a mutation. Synchronous mode takes the same lock uncontended
+(nanoseconds). The single-writer discipline per table is unchanged; the
+lock serializes WHICH single writer runs.
 """
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 
 import jax
@@ -144,6 +155,8 @@ class SlamMap:
         self.k_max = k_max
         self.l_max = l_max
         self.f_max = f_max
+        # guards host truth + mirror caches (see module docstring CONCURRENCY)
+        self.lock = threading.RLock()
         self.n_kf = 0  # slot high-water mark (slots [0, n_kf) may be invalid)
         self.n_lm = 0  # slot high-water mark
         self.next_kf_id = 0  # monotonically increasing (ref src/KeyFrame.cpp:5)

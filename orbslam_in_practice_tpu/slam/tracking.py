@@ -103,10 +103,27 @@ class Tracking:
         self._fused_cache = {}  # image shape -> jitted fused steady step
         self.use_fused = True  # single-program steady state (tests flip this)
         self.map.on_kf_removed = self._reanchor_trajectory
+        # asynchronous local mapping (the reference's producer/consumer
+        # split, include/LocalMapping.h:17-22 — see slam/async_mapping.py):
+        # keyframe epochs run in a worker thread; tracking keeps going on
+        # the pre-epoch map. Worker→tracking events (loop-closure rebase)
+        # are applied at the next frame boundary.
+        self._pending_closure_rebase = None
+        self.async_driver = None
+        if getattr(config, "async_mapping", False):
+            from orbslam_in_practice_tpu.slam.async_mapping import (
+                AsyncMapperDriver,
+            )
+
+            self.async_driver = AsyncMapperDriver(self)
 
     # ------------------------------------------------------------------
     def reset(self):
         """Real Reset (ref include/Tracking.h:33 had an empty body)."""
+        if self.async_driver is not None:
+            # finish queued epochs against the old map before swapping it
+            self.async_driver.drain()
+            self._pending_closure_rebase = None
         old_map = self.map
         self.map = SlamMap(self.cfg.k_max, self.cfg.l_max, self.ini_extractor.total)
         self.map.on_kf_removed = self._reanchor_trajectory
@@ -152,6 +169,9 @@ class Tracking:
         Returns the current Tcw (4, 4) numpy or None while uninitialized.
         """
         self.frame_id += 1
+        if self.async_driver is not None:
+            self.async_driver.raise_errors()
+            self._consume_async_events()
 
         if (
             self.use_fused
@@ -171,12 +191,14 @@ class Tracking:
             else:  # motion model failed -> host fallbacks (ref-KF tracking)
                 if frame is None:
                     frame = self.extractor(jnp.asarray(image, jnp.float32))
-                ok = self._track_frame(frame, try_motion=False)
+                with self.map.lock:
+                    ok = self._track_frame(frame, try_motion=False)
             pose = self.last_pose if ok else None
             if pose is None:
                 self.trajectory.append((self.frame_id, timestamp, None, -1, None, -1))
                 return None
-            return self._log_pose(pose, timestamp)
+            with self.map.lock:
+                return self._log_pose(pose, timestamp)
 
         extractor = (
             self.ini_extractor
@@ -189,10 +211,12 @@ class Tracking:
             self.state = TrackingState.NOT_INITIALIZED
 
         if self.state == TrackingState.NOT_INITIALIZED:
-            self._monocular_initialization(frame)
+            with self.map.lock:
+                self._monocular_initialization(frame)
             pose = self.last_pose if self.state == TrackingState.OK else None
         elif self.state == TrackingState.OK:
-            ok = self._track_frame(frame)
+            with self.map.lock:
+                ok = self._track_frame(frame)
             pose = self.last_pose if ok else None
         else:  # LOST
             if self.map.n_kf_active() <= 5:
@@ -204,13 +228,44 @@ class Tracking:
                 self.reset()
                 pose = None
             else:
-                ok = self._relocalize(frame)
+                with self.map.lock:
+                    ok = self._relocalize(frame)
                 pose = self.last_pose if ok else None
 
         if pose is None:
             self.trajectory.append((self.frame_id, timestamp, None, -1, None, -1))
             return None
-        return self._log_pose(pose, timestamp)
+        with self.map.lock:
+            return self._log_pose(pose, timestamp)
+
+    def _consume_async_events(self):
+        """Apply worker→tracking events at the frame boundary (async mode).
+
+        Loop-closure rebase: the worker corrected keyframe poses wholesale;
+        re-anchor last_pose through the reference keyframe's pose delta so
+        the motion model restarts from the corrected geometry (the sync
+        path's `last_pose = map.kf_pose[kf_id]`, done late)."""
+        ev = self._pending_closure_rebase
+        if ev is None:
+            return
+        self._pending_closure_rebase = None
+        ref_kf, ref_seq, pose_before = ev
+        with self.map.lock:
+            if (
+                self.last_pose is not None
+                and pose_before is not None
+                and ref_kf >= 0
+                and self.map.kf_valid_host()[ref_kf]
+                and int(self.map.kf_seq[ref_kf]) == ref_seq
+            ):
+                pose_now = self.map.hview("kf_pose")[ref_kf]
+                self.last_pose = jnp.asarray(
+                    np.asarray(self.last_pose)
+                    @ np.linalg.inv(pose_before)
+                    @ pose_now
+                )
+                self._prev_pose = self.last_pose
+            self.velocity = None  # the motion model is stale post-closure
 
     def _reanchor_trajectory(self, kf_id: int, kf_seq: int, kf_pose: np.ndarray):
         """Re-anchor trajectory entries referencing a keyframe being removed
@@ -491,26 +546,30 @@ class Tracking:
             self._fused_cache[shape] = self._build_fused_steady()
         step = self._fused_cache[shape]
 
-        mm = np.unique(self.last_obs[self.last_obs >= 0])
-        if len(mm) < 10:
-            return "stage1", None
-        loc = self._local_map_landmarks()
-        if len(loc) == 0:
-            return "stage1", None
-        m = self.map
-        packed = np.empty(m.f_max + LOCAL_MAP_MAX + 2, np.int32)
-        packed[: m.f_max] = _pad_ids(mm, m.f_max)
-        packed[m.f_max : m.f_max + LOCAL_MAP_MAX] = _pad_ids(loc, LOCAL_MAP_MAX)
-        packed[m.f_max + LOCAL_MAP_MAX] = min(len(mm), m.f_max)
-        packed[m.f_max + LOCAL_MAP_MAX + 1] = min(len(loc), LOCAL_MAP_MAX)
-        frame, Tcw, obs, vel, ok1, ok, n2 = step(
-            jnp.asarray(image, jnp.float32),
-            jnp.asarray(packed),
-            self.velocity,
-            jnp.asarray(self.last_pose),
-            m.lm_pos, m.lm_desc_pm1, m.lm_valid, m.lm_octave,
-            m.lm_normal, m.lm_min_dist, m.lm_max_dist,
-        )
+        # assembly + dispatch under the map lock (mirror reads mutate the
+        # mirror cache); the device wait below is lock-free so the async
+        # mapping worker's host sections interleave with it
+        with self.map.lock:
+            mm = np.unique(self.last_obs[self.last_obs >= 0])
+            if len(mm) < 10:
+                return "stage1", None
+            loc = self._local_map_landmarks()
+            if len(loc) == 0:
+                return "stage1", None
+            m = self.map
+            packed = np.empty(m.f_max + LOCAL_MAP_MAX + 2, np.int32)
+            packed[: m.f_max] = _pad_ids(mm, m.f_max)
+            packed[m.f_max : m.f_max + LOCAL_MAP_MAX] = _pad_ids(loc, LOCAL_MAP_MAX)
+            packed[m.f_max + LOCAL_MAP_MAX] = min(len(mm), m.f_max)
+            packed[m.f_max + LOCAL_MAP_MAX + 1] = min(len(loc), LOCAL_MAP_MAX)
+            frame, Tcw, obs, vel, ok1, ok, n2 = step(
+                jnp.asarray(image, jnp.float32),
+                jnp.asarray(packed),
+                self.velocity,
+                jnp.asarray(self.last_pose),
+                m.lm_pos, m.lm_desc_pm1, m.lm_valid, m.lm_octave,
+                m.lm_normal, m.lm_min_dist, m.lm_max_dist,
+            )
         # ONE device->host transfer for all small outputs (each separate read
         # costs a full relay round trip — BENCH_NOTES.md)
         ok1_h, ok_h, obs_h, n2_h = jax.device_get((ok1, ok, obs, n2))
@@ -518,13 +577,14 @@ class Tracking:
             return "stage1", frame
         if not bool(ok_h):
             return "stage2", frame
-        self._prev_pose = self.last_pose
-        self.last_pose = Tcw
-        self.last_obs = obs_h
-        self.velocity = vel
-        self.n_inliers = int(n2_h)
-        if self._need_new_keyframe(frame):
-            self._insert_keyframe(frame)
+        with self.map.lock:
+            self._prev_pose = self.last_pose
+            self.last_pose = Tcw
+            self.last_obs = obs_h
+            self.velocity = vel
+            self.n_inliers = int(n2_h)
+            if self._need_new_keyframe(frame):
+                self._insert_keyframe(frame)
         self.last_frame = frame
         return "ok", frame
 
@@ -773,7 +833,21 @@ class Tracking:
             and frames_since_kf >= 2
             and self.n_inliers > 15
         )
-        return c2 or decay or (long_gap and self.n_inliers >= 30)
+        want = c2 or decay or (long_gap and self.n_inliers >= 30)
+        if not want:
+            return False
+        # async-mapping gate (ORB-SLAM's SetAcceptKeyFrames/queue<3 rule):
+        # with the mapper busy, only the inlier-driven criteria may queue a
+        # second keyframe; a saturated queue refuses outright and the next
+        # frames re-ask (the c1b "mapping idle" note above applies only to
+        # synchronous mode)
+        if self.async_driver is not None:
+            pending = self.async_driver.pending()
+            if pending >= self.async_driver.QUEUE_MAX:
+                return False
+            if pending >= 1 and not (c2 or decay):
+                return False
+        return True
 
     def _insert_keyframe(self, frame):
         if self.map.keyframe_capacity() < 1:
@@ -794,6 +868,13 @@ class Tracking:
         self.ref_kf = kf_id
         self.last_kf_frame_id = self.frame_id
         self._peak_inliers_since_kf = 0
+        if self.async_driver is not None:
+            # producer side of the reference's intended mapping thread:
+            # hand the epoch (+ loop closing) to the worker and keep
+            # tracking on the pre-epoch map (slam/async_mapping.py)
+            self.async_driver.enqueue(self.map, kf_id)
+            self.new_kf_ids.append(kf_id)
+            return
         self.mapper.process_new_keyframe(self.map, kf_id)
         if self.loop_closer is not None and self.loop_closer.attempt(self.map, kf_id):
             # map geometry jumped: the motion model is stale
@@ -839,6 +920,8 @@ def materialize_trajectory(tracker) -> list:
     """[(frame_id, ts, Tcw or None), ...] with poses re-anchored to the
     CURRENT keyframe poses, so global BA / loop closures refine the full
     trajectory retroactively."""
+    if tracker.async_driver is not None:
+        tracker.async_driver.drain()  # fold in every queued epoch first
     out = []
     kf_valid = tracker.map.kf_valid_host()
     kf_pose = tracker.map.hview("kf_pose")

@@ -54,8 +54,18 @@ class SlamSystem:
     def reset(self):
         self.tracker.reset()
 
-    def shutdown(self):  # symmetry with ORB-SLAM's API; nothing to join
-        pass
+    def wait_idle(self, timeout: float | None = None) -> bool:
+        """Block until the async mapping worker has drained its queue
+        (no-op in synchronous mode). Call before reading the map or
+        trajectory mid-run for a settled view."""
+        if self.tracker.async_driver is not None:
+            return self.tracker.async_driver.drain(timeout)
+        return True
+
+    def shutdown(self):
+        """Join the mapping worker (ORB-SLAM System::Shutdown semantics)."""
+        if self.tracker.async_driver is not None:
+            self.tracker.async_driver.shutdown()
 
     # ---------------- trajectory / persistence ----------------
 
@@ -79,6 +89,7 @@ class SlamSystem:
     def save_map(self, path: str):
         from orbslam_in_practice_tpu.utils.checkpoint import save_map
 
+        self.wait_idle()
         save_map(path, self.tracker.map)
 
     def load_map(self, path: str):

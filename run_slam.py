@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--map-out", default=None, help="save map checkpoint (.npz)")
     ap.add_argument("--log", default=None, help="per-frame JSONL log path")
     ap.add_argument("--viz", default=None, help="render map+trajectory PNG here")
+    ap.add_argument(
+        "--async-mapping",
+        action="store_true",
+        help="overlap mapping epochs with tracking (slam/async_mapping.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,6 +72,10 @@ def main():
         frames = ds.frames()
         gt_frame_ids, gt_positions = ds.gt_positions_for_frames()
 
+    if args.async_mapping:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, async_mapping=True)
     system = SlamSystem(cfg)
     timer = StageTimer()
     flog = FrameLog(args.log)
@@ -85,6 +94,7 @@ def main():
             **system.map.stats(),
         )
         n_done += 1
+    system.wait_idle()  # drain queued mapping epochs inside the wall
     wall = time.perf_counter() - t0
 
     stats = system.map.stats()

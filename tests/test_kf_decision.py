@@ -40,6 +40,7 @@ def _stub_tracking(n_inliers, peak, ref_obs, lm_obs_count, n_kf=10,
     t.last_reloc_frame_id = -1e9
     t.n_inliers = n_inliers
     t._peak_inliers_since_kf = peak
+    t.async_driver = None  # synchronous-mode decision under test
     return t
 
 

@@ -78,12 +78,16 @@ def build(n_frames: int, n_features: int = 2000, seed: int = 3, kind: str = "kit
     return seq, cfg
 
 
-def run(n_frames: int, n_features: int = 2000, seed: int = 3):
+def run(n_frames: int, n_features: int = 2000, seed: int = 3, async_mapping: bool = False):
+    import dataclasses
+
     from orbslam_in_practice_tpu.io.evaluation import ate_rmse
     from orbslam_in_practice_tpu.slam.tracking import TrackingState
     from orbslam_in_practice_tpu.system import SlamSystem
 
     seq, cfg = build(n_frames, n_features, seed)
+    if async_mapping:
+        cfg = dataclasses.replace(cfg, async_mapping=True)
     system = SlamSystem(cfg)
     tr = system.tracker
 
@@ -118,6 +122,7 @@ def run(n_frames: int, n_features: int = 2000, seed: int = 3):
         ok_flags.append(ok)
         if ok:
             n_tracked += 1
+    system.wait_idle()  # drain queued mapping epochs inside the wall
     wall = time.perf_counter() - t_start
     # contiguous un-tracked segments (where the regime is lost)
     lost_segments = []
@@ -137,6 +142,7 @@ def run(n_frames: int, n_features: int = 2000, seed: int = 3):
     stats = system.map.stats()
     result = {
         "frames": n_frames,
+        "async_mapping": async_mapping,
         "n_features": n_features,
         "resolution": [1241, 376],
         "k_max": cfg.k_max,
@@ -176,6 +182,7 @@ def main():
     ap.add_argument("--features", type=int, default=2000)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--async-mapping", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
@@ -195,7 +202,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_run")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    result, _ = run(args.frames, args.features)
+    result, _ = run(args.frames, args.features, async_mapping=args.async_mapping)
     print(json.dumps(result, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:
