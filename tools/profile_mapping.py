@@ -93,20 +93,25 @@ def main():
         fx=500.0, fy=500.0, cx=320.0, cy=240.0, n_features=800, n_levels=4,
         async_mapping=args.async_mapping,
     )
+    system = SlamSystem(cfg)
     warmup_s = 0.0
     if args.warmup:
+        # warm THIS system instance (extractor / fused-step jit wrappers are
+        # per-instance, so a throwaway system would re-load every program),
+        # then reset the map so the timed run starts clean
         t0 = time.perf_counter()
-        wsys = SlamSystem(cfg)
         for i in range(args.frames):
-            wsys.track_monocular(seq.render(i), i * 0.1)
-        wsys.wait_idle()
-        wsys.shutdown()
-        del wsys
+            system.track_monocular(seq.render(i), i * 0.1)
+        system.wait_idle()
+        system.reset()
+        system.tracker.trajectory.clear()
         warmup_s = time.perf_counter() - t0
-    system = SlamSystem(cfg)
     tr = system.tracker
     mp = tr.mapper
 
+    wrap(tr, "_monocular_initialization", "init_attempt")
+    wrap(tr, "_create_initial_map", "init_create_map")
+    wrap(tr, "_initial_global_ba", "init_global_ba")
     wrap(mp, "refresh_landmarks")
     wrap(mp, "cull_landmarks")
     wrap(mp, "create_new_points")
